@@ -1,0 +1,149 @@
+"""Reference-path layer: global-plan windowing + polynomial local plan.
+
+Reference semantics: ``CILQR/src/ilqr/include/ilqr/LocalPlanner.cpp`` and the
+densified closest-point lookup at ``Constraints.cpp:24-59``.
+
+TPU-first design notes
+----------------------
+* The global plan is a fixed-size padded array ``(P, 2)`` with a valid count;
+  the reference used dynamic Eigen blocks (LocalPlanner.cpp:47-60).
+* The degree-5 polynomial is fitted in a *centered + scaled* basis
+  ``t = (x - x_mid) / x_scale``.  The reference fits raw global-frame powers
+  (LocalPlanner.cpp:101-117) which is numerically hopeless in f32 at
+  |x| ~ 100 m (x^5 ~ 1e10); centering keeps the Vandermonde condition number
+  ~1e2 so the fit is exact to f32 while producing the *same evaluated
+  polynomial* to within least-squares conditioning.  The fitted y-values —
+  never the raw coefficients — are what enter the solver, so parity is
+  preserved at the trajectory level (verified against the float64 oracle).
+* ``find_closest_point`` becomes a dense (horizon, n_samples) distance argmin
+  — one fused VPU pass instead of an O(N*200) scalar scan.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from cilqr_tpu.utils.params import SolverParams
+
+
+class LocalPlan(NamedTuple):
+    """Fitted local reference plan (all fields fixed-shape, jit-friendly)."""
+
+    coeffs: jax.Array   # (poly_order+1,) in the scaled basis
+    x_mid: jax.Array    # () basis center
+    x_scale: jax.Array  # () basis scale (>= tiny)
+    x_wpts: jax.Array   # (num_of_local_wpts,) window x (global frame)
+    y_fit: jax.Array    # (num_of_local_wpts,) polynomial evaluated at x_wpts
+    # densified sample table used by find_closest_point (Constraints.cpp:28-42)
+    sample_x: jax.Array  # (n_samples,)
+    sample_y: jax.Array  # (n_samples,)
+
+
+def closest_point_index(plan_xy: jax.Array, n_valid: jax.Array, point: jax.Array) -> jax.Array:
+    """Index of the nearest global-plan point (LocalPlanner.cpp:25-41).
+
+    Args:
+      plan_xy: (P, 2) padded global plan.
+      n_valid: () number of real points; padding is masked out.
+      point:   (2,) or (4,) query (only [x, y] used).
+    """
+    d = jnp.sum((plan_xy - point[:2]) ** 2, axis=-1)
+    idx = jnp.arange(plan_xy.shape[0])
+    d = jnp.where(idx < n_valid, d, jnp.inf)
+    return jnp.argmin(d)
+
+
+def polyfit_scaled(x: jax.Array, y: jax.Array, order: int) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Least-squares polynomial fit in a centered/scaled basis.
+
+    Solves the same least-squares problem as the reference's
+    colPivHouseholderQr on a raw Vandermonde (LocalPlanner.cpp:101-117), but
+    on the well-conditioned basis t = (x - mid)/scale.
+    Returns (coeffs ascending in t, mid, scale).
+    """
+    x_mid = 0.5 * (jnp.max(x) + jnp.min(x))
+    x_scale = jnp.maximum(0.5 * (jnp.max(x) - jnp.min(x)), 1e-6)
+    t = (x - x_mid) / x_scale
+    V = t[:, None] ** jnp.arange(order + 1)[None, :]
+    # Normal equations on the scaled basis are fine (cond(V) ~ 1e1-1e2 for
+    # t in [-1, 1]); the y offset is removed first so coefficient magnitudes
+    # stay O(path curvature) rather than O(|y|~300 m).  The tiny (order+1)^2
+    # solve batches cleanly under vmap.
+    y_mid = jnp.mean(y)
+    G = V.T @ V
+    b = V.T @ (y - y_mid)
+    coeffs = jnp.linalg.solve(G, b)
+    coeffs = coeffs.at[0].add(y_mid)
+    return coeffs, x_mid, x_scale
+
+
+def polyval_scaled(coeffs: jax.Array, x_mid: jax.Array, x_scale: jax.Array, x: jax.Array) -> jax.Array:
+    """Evaluate the scaled-basis polynomial at raw x (Horner)."""
+    t = (x - x_mid) / x_scale
+    r = jnp.zeros_like(t)
+    for c in coeffs[::-1]:
+        r = r * t + c
+    return r
+
+
+def get_local_plan(p: SolverParams, plan_xy: jax.Array, n_valid: jax.Array, ego_state: jax.Array) -> LocalPlan:
+    """Window the global plan at the ego pose and fit the local polynomial.
+
+    Mirrors ``LocalPlanner::get_local_plan`` / ``get_local_plan_coeffs``
+    (LocalPlanner.cpp:47-96).  The reference shrinks the window near the end
+    of the plan (LocalPlanner.cpp:51-58); with static shapes we clamp indices
+    so trailing points repeat — identical while >= num_of_local_wpts points
+    remain, and a documented, benign divergence in the final metres.
+    Also pre-densifies the closest-point sample table (Constraints.cpp:28-42)
+    once per solve instead of once per (iteration x timestep).
+    """
+    start = closest_point_index(plan_xy, n_valid, ego_state)
+    idx = jnp.minimum(start + jnp.arange(p.num_of_local_wpts), n_valid - 1)
+    w = plan_xy[idx]  # (W, 2)
+    x_w, y_w = w[:, 0], w[:, 1]
+
+    coeffs, x_mid, x_scale = polyfit_scaled(x_w, y_w, p.poly_order)
+    y_fit = polyval_scaled(coeffs, x_mid, x_scale, x_w)
+
+    # densified table: n samples from x_w[0] stepping (x_w[-1]-x_w[0])/n
+    n = p.n_closest_samples
+    dx = (x_w[-1] - x_w[0]) / n
+    sx = x_w[0] + dx * jnp.arange(n)
+    sy = polyval_scaled(coeffs, x_mid, x_scale, sx)
+
+    return LocalPlan(coeffs, x_mid, x_scale, x_w, y_fit, sx, sy)
+
+
+def find_closest_points(plan: LocalPlan, states: jax.Array) -> jax.Array:
+    """Closest densified-sample point for each state (Constraints.cpp:24-59).
+
+    Args:
+      states: (N, 4) (or (4,)) query states.
+    Returns:
+      (N, 2) (or (2,)) closest [x, y] on the sample table.
+    """
+    single = states.ndim == 1
+    S = jnp.atleast_2d(states)
+    dx = S[:, 0:1] - plan.sample_x[None, :]
+    dy = S[:, 1:2] - plan.sample_y[None, :]
+    d = dx * dx + dy * dy  # (N, n_samples)
+    j = jnp.argmin(d, axis=-1)
+    out = jnp.stack([plan.sample_x[j], plan.sample_y[j]], axis=-1)
+    return out[0] if single else out
+
+
+def pad_global_plan(p: SolverParams, plan_xy, dtype=jnp.float32) -> tuple[jax.Array, jax.Array]:
+    """Pad a (n, 2) waypoint array to the static (P, 2) shape + valid count.
+
+    Padding repeats the final waypoint so out-of-range gathers stay sane.
+    """
+    plan_xy = jnp.asarray(plan_xy, dtype=dtype)
+    n = plan_xy.shape[0]
+    P = p.max_global_plan_points
+    if n > P:
+        raise ValueError(f"global plan has {n} > max_global_plan_points={P} points")
+    pad = jnp.broadcast_to(plan_xy[-1], (P - n, 2))
+    return jnp.concatenate([plan_xy, pad], axis=0), jnp.asarray(n, dtype=jnp.int32)

@@ -1,0 +1,160 @@
+"""Multi-layer grid-map substrate — functional, HBM-resident, jit-friendly.
+
+Replaces the load-bearing slice of the vendored ANYbotics grid_map library
+(``grid_map_core/include/grid_map_core/GridMap.hpp:76-234``,
+``src/GridMapMath.cpp:114-145``): geometry math, position<->index transforms,
+and sampling.  The circular-buffer start-index machinery is deliberately
+dropped — XLA arrays re-materialize on move, so the buffer is always aligned.
+
+Conventions (matching grid_map): cell (0, 0) is the *top-left* corner at the
+(+x, +y) extreme; positions decrease as indices grow:
+
+    pos(i, j) = center + (length/2 - res/2) - res * (i, j)
+
+Axis 0 (rows) spans x, axis 1 (cols) spans y.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+
+class GridGeom(NamedTuple):
+    """Geometry metadata of a fixed-size grid (all entries scalars/arrays so
+    the pytree is jit-traceable; shapes stay static via the data array)."""
+
+    center: jax.Array      # (2,) map-frame position of the grid center
+    resolution: jax.Array  # ()
+    length: jax.Array      # (2,) physical extent [len_x, len_y]
+
+
+def make_geom(center_xy, resolution: float, rows: int, cols: int, dtype=jnp.float32) -> GridGeom:
+    center = jnp.asarray(center_xy, dtype=dtype)
+    res = jnp.asarray(resolution, dtype=dtype)
+    length = jnp.asarray([rows * resolution, cols * resolution], dtype=dtype)
+    return GridGeom(center, res, length)
+
+
+def cell_positions(geom: GridGeom, rows: int, cols: int):
+    """(rows,), (cols,) cell-center coordinates along x and y."""
+    first = geom.center + 0.5 * geom.length - 0.5 * geom.resolution
+    xs = first[0] - geom.resolution * jnp.arange(rows, dtype=geom.center.dtype)
+    ys = first[1] - geom.resolution * jnp.arange(cols, dtype=geom.center.dtype)
+    return xs, ys
+
+
+def position_from_index(geom: GridGeom, idx: jax.Array) -> jax.Array:
+    """Cell-center position of integer index (..., 2)
+    (GridMapMath.cpp:114-129 semantics, aligned buffer)."""
+    first = geom.center + 0.5 * geom.length - 0.5 * geom.resolution
+    return first - geom.resolution * idx.astype(geom.center.dtype)
+
+
+def index_from_position(geom: GridGeom, pos: jax.Array) -> jax.Array:
+    """Integer cell index containing position (..., 2)
+    (GridMapMath.cpp:131-145 semantics)."""
+    top = geom.center + 0.5 * geom.length
+    return jnp.floor((top - pos) / geom.resolution).astype(jnp.int32)
+
+
+def continuous_index(geom: GridGeom, pos: jax.Array) -> jax.Array:
+    """Real-valued index such that integer values land on cell centers."""
+    first = geom.center + 0.5 * geom.length - 0.5 * geom.resolution
+    return (first - pos) / geom.resolution
+
+
+def in_bounds(geom: GridGeom, pos: jax.Array) -> jax.Array:
+    """Boolean mask: position inside the map rectangle."""
+    lo = geom.center - 0.5 * geom.length
+    hi = geom.center + 0.5 * geom.length
+    return jnp.all((pos >= lo) & (pos <= hi), axis=-1)
+
+
+def sample_nearest(data: jax.Array, geom: GridGeom, pos: jax.Array) -> jax.Array:
+    """atPosition-style nearest-cell lookup (GridMap.hpp:166), clamped at the
+    border.  pos: (..., 2) -> values (...,)."""
+    idx = index_from_position(geom, pos)
+    i = jnp.clip(idx[..., 0], 0, data.shape[0] - 1)
+    j = jnp.clip(idx[..., 1], 0, data.shape[1] - 1)
+    return data[i, j]
+
+
+def sample_bilinear_with_grad(data: jax.Array, geom: GridGeom, pos: jax.Array):
+    """Bilinear interpolation + spatial gradient in map-frame coordinates.
+
+    Returns (value (...,), grad (..., 2)) with grad = d value / d pos.
+    Border cells clamp (gradient follows the clamped interpolant).
+    """
+    ci = continuous_index(geom, pos)  # (..., 2)
+    fi = jnp.clip(ci[..., 0], 0.0, data.shape[0] - 1.0)
+    fj = jnp.clip(ci[..., 1], 0.0, data.shape[1] - 1.0)
+    i0 = jnp.clip(jnp.floor(fi).astype(jnp.int32), 0, data.shape[0] - 2)
+    j0 = jnp.clip(jnp.floor(fj).astype(jnp.int32), 0, data.shape[1] - 2)
+    ti = fi - i0
+    tj = fj - j0
+
+    v00 = data[i0, j0]
+    v01 = data[i0, j0 + 1]
+    v10 = data[i0 + 1, j0]
+    v11 = data[i0 + 1, j0 + 1]
+
+    v0 = v00 * (1 - tj) + v01 * tj
+    v1 = v10 * (1 - tj) + v11 * tj
+    val = v0 * (1 - ti) + v1 * ti
+
+    dv_di = v1 - v0
+    dv_dj = (v01 - v00) * (1 - ti) + (v11 - v10) * ti
+    # d index / d pos = -1/res on both axes (indices grow against position)
+    inv = -1.0 / geom.resolution
+    grad = jnp.stack([dv_di * inv, dv_dj * inv], axis=-1)
+    return val, grad
+
+
+def rasterize_polygon(geom: GridGeom, rows: int, cols: int, vertices: jax.Array) -> jax.Array:
+    """(rows, cols) float mask of cells whose centers lie inside the convex
+    polygon ``vertices`` (K, 2) given in CCW or CW order.
+
+    TPU-native replacement of grid_map's ``PolygonIterator``
+    (PolygonIterator.cpp + Polygon::isInside): a vectorized all-same-side
+    half-plane test instead of a per-cell ray cast.
+    """
+    xs, ys = cell_positions(geom, rows, cols)
+    px = xs[:, None]  # (rows, 1)
+    py = ys[None, :]  # (1, cols)
+    v = vertices
+    vn = jnp.roll(vertices, -1, axis=0)
+    # cross(edge, point - vertex) per edge: (K, rows, cols)
+    ex = (vn[:, 0] - v[:, 0])[:, None, None]
+    ey = (vn[:, 1] - v[:, 1])[:, None, None]
+    rx = px[None, :, :] - v[:, 0][:, None, None]
+    ry = py[None, :, :] - v[:, 1][:, None, None]
+    cross = ex * ry - ey * rx
+    inside = jnp.all(cross >= 0, axis=0) | jnp.all(cross <= 0, axis=0)
+    return inside.astype(geom.center.dtype)
+
+
+def ellipse_mask(
+    geom: GridGeom,
+    rows: int,
+    cols: int,
+    center: jax.Array,
+    half_axes: jax.Array,
+    rotation: jax.Array,
+) -> jax.Array:
+    """(rows, cols) bool mask of cells inside a rotated ellipse.
+
+    Matches grid_map's ``EllipseIterator::isInside``
+    (EllipseIterator.cpp:84-90): the quadratic form uses the transform
+    [[cos, sin], [sin, -cos]] and tests <= 1 against the squared half-axes.
+    """
+    xs, ys = cell_positions(geom, rows, cols)
+    dx = xs[:, None] - center[0]
+    dy = ys[None, :] - center[1]
+    c, s = jnp.cos(rotation), jnp.sin(rotation)
+    u = c * dx + s * dy
+    w = s * dx - c * dy
+    q = (u / half_axes[0]) ** 2 + (w / half_axes[1]) ** 2
+    return q <= 1.0

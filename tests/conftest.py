@@ -1,0 +1,48 @@
+"""Test configuration: force an 8-device virtual CPU mesh and float64.
+
+Multi-chip sharding is validated on a reshaped single-host mesh (SURVEY.md §4
+implication 4); real-TPU behavior is covered by bench.py / the driver's
+compile checks.  Must run before the first `import jax` anywhere.
+"""
+
+import os
+
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+# The harness presets JAX_PLATFORMS=axon (the tunneled real TPU) and pytest
+# itself already imports jax._src, so the env var is latched — override via
+# the live config instead.
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+from cilqr_tpu.utils.params import SolverParams  # noqa: E402
+
+
+@pytest.fixture(scope="session")
+def params() -> SolverParams:
+    return SolverParams()
+
+
+def make_global_plan(n=120, dtype=np.float64):
+    """A gently curving CARLA-like lane at Town02-scale coordinates."""
+    s = np.linspace(0.0, 119.0, n)
+    x = 90.0 + s
+    y = -306.0 + 2.5 * np.sin(0.03 * s) + 0.01 * s
+    return np.stack([x, y], axis=1).astype(dtype)
+
+
+@pytest.fixture(scope="session")
+def global_plan():
+    return make_global_plan()
+
+
+@pytest.fixture(scope="session")
+def ego_state():
+    return np.array([100.0, -305.6, 4.0, 0.05])
