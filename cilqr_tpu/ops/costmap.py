@@ -1,0 +1,341 @@
+"""Local uncertainty-costmap engine — TPU-native equivalent of the
+``map_engine`` node (``CILQR/src/map_engine/src/local_costmap.cpp`` +
+``arbitrary_transformation.cu`` / ``ARBIT.cuh``).
+
+Pipeline per planning tick (odomCallback, local_costmap.cpp:172-310):
+  1. corridor-derived map geometry        (getVehicleMapScale, :712-805)
+  2. obstacle OBB rasterization           (bondingBoxHandle, :860-922)
+  3. prior-map resampling by rotated gather (:242-264)
+  4. uncertainty propagation              (thrust_propagateUncertainty)
+  5. planner map assembly                 (:296-306)
+
+Design notes (TPU-first):
+* The reference resizes the grid every tick from the corridor bbox; XLA needs
+  static shapes, so the grid is a fixed (rows, cols) patch whose *center*
+  follows the corridor bbox while the extent stays rows*res x cols*res.
+* The data-dependent ``EllipseIterator`` footprint becomes a fixed
+  (2R+1)^2 window + analytic inside-ellipse mask.  The iterator's per-cell
+  inside test ((T d)^2 / semiAxes^2 <= 1, EllipseIterator.cpp:84-90) is
+  algebraically identical to  d^T cov^-1 d <= chi^2,  so the 2x2
+  eigendecomposition of the CUDA path (arbitrary_transformation.cu:60-83)
+  is not needed at all — pure VPU math.
+* The hot accumulation loop (OpenMP x8 on host in the reference,
+  arbitrary_transformation.cu:102-151) is a scan over window offsets with
+  shifted adds — and a Pallas halo-tiled kernel in
+  ``ops/uncertainty_pallas.py`` for the TPU fast path.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from cilqr_tpu.ops import gridmap
+from cilqr_tpu.utils.params import CostmapParams
+
+
+class LocalCostmap(NamedTuple):
+    """Multi-layer vehicle-frame costmap (layers of local_costmap.cpp:125-132)."""
+
+    vehicle_map: jax.Array       # (rows, cols) prior + obstacle occupancy
+    bounding_box_map: jax.Array  # (rows, cols) rasterized obstacle OBBs
+    uncertainty_map: jax.Array   # (rows, cols) propagated occupancy
+    geom: gridmap.GridGeom       # vehicle-frame geometry (center, res, length)
+    origin_xy: jax.Array         # (2,) ego global position (map origin)
+    origin_yaw: jax.Array        # () ego global yaw
+
+
+def corridor_geometry(
+    cp: CostmapParams,
+    waypoints: jax.Array,
+    n_valid: jax.Array,
+    ego_xy: jax.Array,
+    ego_yaw: jax.Array,
+):
+    """Vehicle-map center from the lane-corridor bounding box.
+
+    Mirrors ``getVehicleMapScale`` (local_costmap.cpp:712-805): take
+    ``look_ahead_waypoints`` waypoints from the nearest one, offset the lane
+    center 8 m left / 4 m right along heading - pi/2, transform to the
+    vehicle frame, and bound.  Returns (center (2,), (x_len, y_len)) — the
+    dynamic extent is reported for parity/telemetry but the grid extent
+    stays static (see module docstring).  The -5 m x shift applied when the
+    reference sets geometry (local_costmap.cpp:213) is included.
+    """
+    # nearest waypoint (searchTargetIndex, :661-710 — warm start replaced by
+    # a full masked argmin: same result, no state)
+    P = waypoints.shape[0]
+    d = jnp.sum((waypoints - ego_xy) ** 2, axis=-1)
+    d = jnp.where(jnp.arange(P) < n_valid, d, jnp.inf)
+    start = jnp.argmin(d)
+
+    idx = jnp.minimum(start + jnp.arange(cp.look_ahead_waypoints), n_valid - 1)
+    wp = waypoints[idx]  # (L, 2)
+    # heading from path tangent (the reference reads waypoint quaternions)
+    nxt = waypoints[jnp.minimum(idx + 1, n_valid - 1)]
+    tangent = nxt - wp
+    yaw_w = jnp.arctan2(tangent[:, 1], tangent[:, 0])
+    # degenerate tail (repeated last waypoint): reuse previous heading
+    ok = jnp.sum(tangent * tangent, axis=-1) > 1e-12
+    yaw_w = jnp.where(ok, yaw_w, ego_yaw)
+
+    heading = yaw_w - jnp.pi / 2.0
+    heading = jnp.where(heading < 0, heading + 2 * jnp.pi, heading)
+    ch, sh = jnp.cos(heading), jnp.sin(heading)
+    left = wp - cp.corridor_left * jnp.stack([ch, sh], axis=-1)
+    right = wp + cp.corridor_right * jnp.stack([ch, sh], axis=-1)
+    corridor = jnp.concatenate([left, right], axis=0)  # (2L, 2)
+
+    # global -> vehicle frame
+    cy, sy = jnp.cos(ego_yaw), jnp.sin(ego_yaw)
+    dxy = corridor - ego_xy
+    local = jnp.stack(
+        [cy * dxy[:, 0] + sy * dxy[:, 1], -sy * dxy[:, 0] + cy * dxy[:, 1]],
+        axis=-1,
+    )
+    x_min, x_max = jnp.min(local[:, 0]), jnp.max(local[:, 0])
+    y_min, y_max = jnp.min(local[:, 1]), jnp.max(local[:, 1])
+    x_len = x_max - x_min
+    y_len = y_max - y_min
+    center = jnp.stack([x_len / 2.0 - 5.0, (y_max + y_min) / 2.0])
+    return center, (x_len, y_len)
+
+
+def rasterize_obstacles(
+    cp: CostmapParams,
+    geom: gridmap.GridGeom,
+    rows: int,
+    cols: int,
+    obs_xy: jax.Array,
+    obs_size: jax.Array,
+    obs_yaw: jax.Array,
+    obs_mask: jax.Array,
+    ego_xy: jax.Array,
+    ego_yaw: jax.Array,
+) -> jax.Array:
+    """Bounding-box layer: inflated rotated rectangles of nearby obstacles.
+
+    Mirrors ``bondingBoxHandle`` (local_costmap.cpp:860-922): +0.2 m
+    inflation, 100 m range gate, corners rotated by obstacle yaw then
+    transformed to the vehicle frame, filled at value 100 via the polygon
+    mask (replacing PolygonIterator).
+    """
+    dtype = geom.center.dtype
+    M = obs_xy.shape[0]
+    dist = jnp.sqrt(jnp.sum((obs_xy - ego_xy) ** 2, axis=-1))
+    active = obs_mask.astype(bool) & (dist <= cp.obstacle_raster_radius)
+
+    half = 0.5 * (obs_size + cp.bbox_inflation)  # (M, 2)
+    corners_l = jnp.stack(
+        [
+            jnp.stack([half[:, 0], half[:, 1]], axis=-1),
+            jnp.stack([half[:, 0], -half[:, 1]], axis=-1),
+            jnp.stack([-half[:, 0], -half[:, 1]], axis=-1),
+            jnp.stack([-half[:, 0], half[:, 1]], axis=-1),
+        ],
+        axis=1,
+    )  # (M, 4, 2)
+    co, so = jnp.cos(obs_yaw)[:, None], jnp.sin(obs_yaw)[:, None]
+    gx = co * corners_l[..., 0] - so * corners_l[..., 1] + obs_xy[:, 0:1]
+    gy = so * corners_l[..., 0] + co * corners_l[..., 1] + obs_xy[:, 1:2]
+    cy, sy = jnp.cos(ego_yaw), jnp.sin(ego_yaw)
+    lx = cy * (gx - ego_xy[0]) + sy * (gy - ego_xy[1])
+    ly = -sy * (gx - ego_xy[0]) + cy * (gy - ego_xy[1])
+    verts = jnp.stack([lx, ly], axis=-1)  # (M, 4, 2)
+
+    def one(vs, act):
+        m = gridmap.rasterize_polygon(geom, rows, cols, vs)
+        return jnp.where(act, m, jnp.zeros_like(m))
+
+    masks = jax.vmap(one)(verts, active)  # (M, rows, cols)
+    return 100.0 * jnp.max(masks, axis=0).astype(dtype)
+
+
+def sample_prior(
+    geom: gridmap.GridGeom,
+    rows: int,
+    cols: int,
+    global_map: jax.Array,
+    global_geom: gridmap.GridGeom,
+    ego_xy: jax.Array,
+    ego_yaw: jax.Array,
+) -> jax.Array:
+    """Prior-map layer: nearest-cell lookup of the global map at every
+    vehicle-frame cell rotated into the global frame (local_costmap.cpp:242-253)."""
+    xs, ys = gridmap.cell_positions(geom, rows, cols)
+    cx = xs[:, None]
+    cyy = ys[None, :]
+    cyaw, syaw = jnp.cos(ego_yaw), jnp.sin(ego_yaw)
+    gx = cx * cyaw - cyy * syaw + ego_xy[0]
+    gy = cx * syaw + cyy * cyaw + ego_xy[1]
+    pos = jnp.stack([gx, gy], axis=-1)  # (rows, cols, 2)
+    return gridmap.sample_nearest(global_map, global_geom, pos)
+
+
+def cell_sigma_rho(
+    cp: CostmapParams, xs: jax.Array, ys: jax.Array, ego_yaw: jax.Array, faithful: bool = False
+):
+    """Per-cell propagated covariance terms (sigma_x_i, sigma_y_i, rho).
+
+    Mirrors ``uncertainty_error_functor`` (ARBIT.cuh:51-69): the pose
+    uncertainty (sigma_x, sigma_y, sigma_theta) of the ego maps to a
+    cell-dependent 2D position covariance growing with lever arm |cell|:
+    for p = R(yaw) C + v the theta-Jacobian is g = (-s Cx - c Cy, c Cx - s Cy)
+    and cov = diag(sigma_x^2, sigma_y^2) + sigma_theta^2 g g^T.  The
+    reference's diagonal terms match g exactly (u = g1^2, v = g2^2,
+    ARBIT.cuh:60-61) but its cross term t (ARBIT.cuh:62-63) flips the sign of
+    the s*c*(Cx^2-Cy^2) contribution relative to g1*g2 — a sign defect that
+    makes |rho| exceed 1 at some yaws (non-PSD "covariance" -> NaN ellipse in
+    the C++).  Default: the correct PSD cross term.  ``faithful=True``
+    reproduces the reference formula bit-for-bit for parity studies; callers
+    must then guard |rho| >= 1 cells (we fall back to the prior, matching the
+    count==0 branch at local_costmap.cpp:489-496 / arbitrary_transformation.cu:
+    the NaN footprint contributes nothing).
+    """
+    s, c = jnp.sin(ego_yaw), jnp.cos(ego_yaw)
+    Cx = xs[:, None]
+    Cy = ys[None, :]
+    g1 = -s * Cx - c * Cy
+    g2 = c * Cx - s * Cy
+    u = g1 * g1
+    v = g2 * g2
+    if faithful:
+        t = s * c * (Cx * Cx - Cy * Cy) + Cx * Cy * (s * s - c * c)
+    else:
+        t = g1 * g2
+    sx = jnp.sqrt(cp.sigma_x**2 + cp.sigma_theta**2 * u)
+    sy = jnp.sqrt(cp.sigma_y**2 + cp.sigma_theta**2 * v)
+    rho = cp.sigma_theta**2 * t / (sx * sy)
+    return sx, sy, rho
+
+
+def required_window_radius(
+    cp: CostmapParams, rows: int, cols: int, center=(None, None)
+) -> int:
+    """Smallest half-window (cells) covering the worst-case 95% ellipse.
+
+    half_major = chi * sqrt(lambda_max(cov)) <= chi * sqrt(a + c) with
+    a + c = sigma_x^2 + sigma_y^2 + sigma_theta^2 * |cell|^2, evaluated at
+    the map corner (max lever arm).  ``center`` defaults to the configured
+    (x_position - 5, y_position) map center.
+    """
+    cx = center[0] if center[0] is not None else cp.x_position - 5.0
+    cy = center[1] if center[1] is not None else cp.y_position
+    res = cp.resolution
+    corner = math.hypot(rows * res / 2 + abs(cx), cols * res / 2 + abs(cy))
+    a_plus_c = cp.sigma_x**2 + cp.sigma_y**2 + cp.sigma_theta**2 * corner**2
+    half_major = cp.chisquare_val * math.sqrt(a_plus_c)
+    return max(1, math.ceil(half_major / res))
+
+
+def propagate_uncertainty_reference(
+    cp: CostmapParams,
+    prior: jax.Array,
+    geom: gridmap.GridGeom,
+    ego_yaw: jax.Array,
+    faithful_rho: bool = False,
+) -> jax.Array:
+    """Pure-JAX (XLA) uncertainty propagation — the semantics oracle for the
+    Pallas kernel and the CPU/compat path.
+
+    For every cell i:  u_i = sum_j f_ij p_j / sum_j f_ij  over cells j inside
+    the 95% ellipse of cov_i AND inside the map, with f the correlated 2D
+    Gaussian pdf ``nomal2`` (ARBIT.cuh:103-107, accumulation
+    arbitrary_transformation.cu:115-138).  The data-dependent
+    EllipseIterator becomes a fixed (2R+1)^2 offset scan with the analytic
+    inside test  d^T cov^-1 d <= chi^2.
+    """
+    rows, cols = prior.shape
+    dtype = prior.dtype
+    R = cp.window_radius
+    xs, ys = gridmap.cell_positions(geom, rows, cols)
+    sx, sy, rho = cell_sigma_rho(cp, xs, ys, ego_yaw, faithful=faithful_rho)
+    sx = sx.astype(dtype)
+    sy = sy.astype(dtype)
+    rho = rho.astype(dtype)
+
+    # Non-PSD guard (reachable only with faithful_rho=True — see
+    # cell_sigma_rho): such cells keep the prior.
+    psd = jnp.abs(rho) < 1.0
+    rho = jnp.where(psd, rho, 0.0)
+
+    one_m_rho2 = 1.0 - rho * rho
+    inv_det2 = 1.0 / (2.0 * one_m_rho2)
+    norm = 1.0 / (jnp.sqrt(one_m_rho2) * (2.0 * jnp.pi * sx * sy))
+    chi2 = cp.chisquare_val**2
+
+    res = cp.resolution
+    # neighbor j at index offset (di, dj) sits at position offset
+    # (-di*res, -dj*res) (indices grow against position)
+    prior_pad = jnp.pad(prior, R, mode="constant", constant_values=0.0)
+    valid_pad = jnp.pad(jnp.ones_like(prior), R, mode="constant", constant_values=0.0)
+
+    W = 2 * R + 1
+
+    def body(k, acc):
+        num, den = acc
+        di = k // W - R
+        dj = k % W - R
+        dx = (-di * res).astype(dtype)
+        dy = (-dj * res).astype(dtype)
+        p_j = jax.lax.dynamic_slice(prior_pad, (di + R, dj + R), (rows, cols))
+        v_j = jax.lax.dynamic_slice(valid_pad, (di + R, dj + R), (rows, cols))
+
+        zx = dx / sx
+        zy = dy / sy
+        q = zx * zx - 2.0 * rho * zx * zy + zy * zy
+        # inside-ellipse test: d^T cov^-1 d = q / (1 - rho^2) <= chi^2
+        inside = q <= chi2 * one_m_rho2
+        f = norm * jnp.exp(-q * inv_det2)
+        w = jnp.where(inside & (v_j > 0), f, 0.0)
+        return (num + w * p_j, den + w)
+
+    num0 = jnp.zeros_like(prior)
+    den0 = jnp.zeros_like(prior)
+    num, den = jax.lax.fori_loop(0, W * W, body, (num0, den0))
+    return jnp.where(psd & (den > 0), num / den, prior)
+
+
+def build_local_costmap(
+    cp: CostmapParams,
+    global_map: jax.Array,
+    global_geom: gridmap.GridGeom,
+    waypoints: jax.Array,
+    n_wpts: jax.Array,
+    ego_state: jax.Array,
+    obs_xy: jax.Array,
+    obs_size: jax.Array,
+    obs_yaw: jax.Array,
+    obs_mask: jax.Array,
+    use_pallas: bool = False,
+) -> LocalCostmap:
+    """Full costmap tick (odomCallback, local_costmap.cpp:172-310)."""
+    rows, cols = cp.rows, cp.cols
+    ego_xy = ego_state[:2]
+    ego_yaw = ego_state[3]
+
+    center, _ = corridor_geometry(cp, waypoints, n_wpts, ego_xy, ego_yaw)
+    geom = gridmap.GridGeom(
+        center.astype(global_map.dtype),
+        jnp.asarray(cp.resolution, global_map.dtype),
+        jnp.asarray([rows * cp.resolution, cols * cp.resolution], global_map.dtype),
+    )
+
+    bbox = rasterize_obstacles(
+        cp, geom, rows, cols, obs_xy, obs_size, obs_yaw, obs_mask, ego_xy, ego_yaw
+    )
+    prior = sample_prior(geom, rows, cols, global_map, global_geom, ego_xy, ego_yaw)
+    # bbox overrides prior where > 90 (local_costmap.cpp:260-263)
+    vehicle_map = jnp.where(bbox > 90.0, bbox, prior)
+
+    if use_pallas:
+        from cilqr_tpu.ops import uncertainty_pallas
+
+        unc = uncertainty_pallas.propagate_uncertainty_tpu(cp, vehicle_map, geom, ego_yaw)
+    else:
+        unc = propagate_uncertainty_reference(cp, vehicle_map, geom, ego_yaw)
+
+    return LocalCostmap(vehicle_map, bbox, unc, geom, ego_xy, ego_yaw)

@@ -1,0 +1,127 @@
+"""Pallas TPU kernel for the uncertainty-propagation hot loop.
+
+TPU-native re-expression of the reference's hottest code path: the
+Gaussian-weighted ellipse accumulation that the reference runs as an
+OpenMP x8 *host* loop despite shipping a CUDA file
+(``arbitrary_transformation.cu:102-151``; device passes only compute per-cell
+sigma/ellipse params, :37-89).
+
+Design:
+* Per-cell covariance terms (sigma_x_i, sigma_y_i, rho — ARBIT.cuh:51-69)
+  are cheap elementwise math; they are precomputed by XLA and fused.
+* The kernel holds the R-padded prior and all per-cell terms in VMEM
+  (~0.5 MB at the default 152x104 geometry — far under the ~16 MB budget)
+  and runs the (2R+1)^2-offset accumulation entirely on the VPU:
+  625 shifted fused multiply-adds for the default window, no HBM traffic
+  after the initial load.
+* The data-dependent EllipseIterator footprint becomes the analytic inside
+  test  q / (1 - rho^2) <= chi^2  (see ops/costmap.py docstring for the
+  equivalence proof sketch) fused into the weight mask.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from cilqr_tpu.ops import costmap as costmap_mod
+from cilqr_tpu.ops import gridmap
+from cilqr_tpu.utils.params import CostmapParams
+
+
+def _kernel(R: int, res: float, chi2: float, rows: int, cols: int,
+            prior_pad_ref, sx_ref, sy_ref, rho_ref, psd_ref, prior_ref, out_ref):
+    W = 2 * R + 1
+    sx = sx_ref[:]
+    sy = sy_ref[:]
+    rho = rho_ref[:]
+
+    one_m_rho2 = 1.0 - rho * rho
+    inv_det2 = 1.0 / (2.0 * one_m_rho2)
+    norm = 1.0 / (jnp.sqrt(one_m_rho2) * (2.0 * jnp.pi * sx * sy))
+    thresh = chi2 * one_m_rho2
+
+    # neighbor-in-map masks come from global cell ids
+    row_id = jax.lax.broadcasted_iota(jnp.int32, (rows, cols), 0)
+    col_id = jax.lax.broadcasted_iota(jnp.int32, (rows, cols), 1)
+
+    inv_sx = 1.0 / sx
+    inv_sy = 1.0 / sy
+
+    # Mosaic cannot prove dynamic lane-dim (dim 1) slice alignment, so the
+    # column offset dj is a *static* Python unroll (W slices at compile-time
+    # lane rotations) while the row offset di stays a dynamic fori_loop on
+    # the sublane dim.
+    num0 = jnp.zeros((rows, cols), jnp.float32)
+    num, den = num0, num0
+    for dj in range(W):
+        dy = -(dj - R) * res
+        zy = dy * inv_sy
+        col_ok = (col_id + (dj - R) >= 0) & (col_id + (dj - R) < cols)
+
+        def body(di, acc, dj=dj, zy=zy, col_ok=col_ok):
+            num, den = acc
+            # neighbor j at index offset (di-R, dj-R) -> position offset
+            # (-(di-R)*res, -(dj-R)*res)
+            dx = -(di - R).astype(jnp.float32) * res
+            p_j = prior_pad_ref[pl.ds(di, rows), dj : dj + cols]
+            in_map = col_ok & (row_id + (di - R) >= 0) & (row_id + (di - R) < rows)
+            zx = dx * inv_sx
+            q = zx * zx - 2.0 * rho * zx * zy + zy * zy
+            f = norm * jnp.exp(-q * inv_det2)
+            w = jnp.where((q <= thresh) & in_map, f, 0.0)
+            return (num + w * p_j, den + w)
+
+        num, den = jax.lax.fori_loop(0, W, body, (num, den))
+    prior = prior_ref[:]
+    good = (psd_ref[:] > 0.0) & (den > 0.0)
+    out_ref[:] = jnp.where(good, num / den, prior)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 4, 5))
+def _propagate(cp: CostmapParams, prior, xs, ys, faithful_rho: bool, interpret: bool, ego_yaw):
+    rows, cols = prior.shape
+    R = cp.window_radius
+    prior32 = prior.astype(jnp.float32)
+    sx, sy, rho = costmap_mod.cell_sigma_rho(cp, xs, ys, ego_yaw, faithful=faithful_rho)
+    psd = (jnp.abs(rho) < 1.0).astype(jnp.float32)
+    rho = jnp.where(psd > 0, rho, 0.0).astype(jnp.float32)
+    prior_pad = jnp.pad(prior32, R)
+
+    kern = functools.partial(
+        _kernel, R, float(cp.resolution), float(cp.chisquare_val**2), rows, cols
+    )
+    flops = (2 * R + 1) ** 2 * rows * cols * 12
+    out = pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct((rows, cols), jnp.float32),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 6,
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        cost_estimate=pl.CostEstimate(
+            flops=flops,
+            bytes_accessed=4 * rows * cols * 7,
+            transcendentals=(2 * R + 1) ** 2 * rows * cols,
+        ),
+        interpret=interpret,
+    )(prior_pad, sx.astype(jnp.float32), sy.astype(jnp.float32), rho, psd, prior32)
+    return out.astype(prior.dtype)
+
+
+def propagate_uncertainty_tpu(
+    cp: CostmapParams,
+    prior: jax.Array,
+    geom: gridmap.GridGeom,
+    ego_yaw: jax.Array,
+    faithful_rho: bool = False,
+    interpret: bool = False,
+) -> jax.Array:
+    """Drop-in fast path for ``costmap.propagate_uncertainty_reference``.
+
+    ``interpret=True`` runs the Pallas interpreter (for CPU tests)."""
+    rows, cols = prior.shape
+    xs, ys = gridmap.cell_positions(geom, rows, cols)
+    return _propagate(cp, prior, xs, ys, faithful_rho, interpret, ego_yaw)

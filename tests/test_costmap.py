@@ -1,0 +1,162 @@
+"""Costmap engine tests: gridmap math, rasterization, uncertainty propagation."""
+
+import dataclasses
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cilqr_tpu.ops import costmap, gridmap
+from cilqr_tpu.utils.params import CostmapParams
+from oracle import oracle_costmap
+
+
+def small_costmap_params(**kw):
+    base = dict(rows=24, cols=16, window_radius=8)
+    base.update(kw)
+    return dataclasses.replace(CostmapParams(), **base)
+
+
+# ------------------------------------------------------------------ gridmap
+def test_position_index_roundtrip():
+    geom = gridmap.make_geom([3.0, -1.0], 0.2, 30, 20, dtype=jnp.float64)
+    idx = jnp.stack(
+        jnp.meshgrid(jnp.arange(30), jnp.arange(20), indexing="ij"), axis=-1
+    )
+    pos = gridmap.position_from_index(geom, idx)
+    back = gridmap.index_from_position(geom, pos)
+    np.testing.assert_array_equal(np.asarray(back), np.asarray(idx))
+
+
+def test_grid_orientation_matches_grid_map_convention():
+    """Index (0,0) must sit at the (+x, +y) corner (GridMapMath semantics)."""
+    geom = gridmap.make_geom([0.0, 0.0], 0.5, 4, 4, dtype=jnp.float64)
+    p00 = gridmap.position_from_index(geom, jnp.array([0, 0]))
+    p33 = gridmap.position_from_index(geom, jnp.array([3, 3]))
+    assert p00[0] > p33[0] and p00[1] > p33[1]
+    np.testing.assert_allclose(np.asarray(p00), [0.75, 0.75])
+
+
+def test_polygon_rasterization_axis_aligned():
+    geom = gridmap.make_geom([0.0, 0.0], 1.0, 8, 8, dtype=jnp.float64)
+    verts = jnp.asarray([[-2.0, -2.0], [2.0, -2.0], [2.0, 2.0], [-2.0, 2.0]])
+    mask = np.asarray(gridmap.rasterize_polygon(geom, 8, 8, verts))
+    xs, ys = gridmap.cell_positions(geom, 8, 8)
+    xs, ys = np.asarray(xs), np.asarray(ys)
+    want = ((np.abs(xs)[:, None] <= 2.0) & (np.abs(ys)[None, :] <= 2.0)).astype(float)
+    np.testing.assert_array_equal(mask, want)
+
+
+def test_ellipse_mask_matches_quadratic_form():
+    geom = gridmap.make_geom([0.0, 0.0], 0.25, 32, 32, dtype=jnp.float64)
+    m = gridmap.ellipse_mask(
+        geom, 32, 32, jnp.asarray([0.5, -0.25]), jnp.asarray([2.0, 1.0]), jnp.asarray(0.7)
+    )
+    xs, ys = gridmap.cell_positions(geom, 32, 32)
+    xs, ys = np.asarray(xs), np.asarray(ys)
+    dx = xs[:, None] - 0.5
+    dy = ys[None, :] + 0.25
+    c, s = np.cos(0.7), np.sin(0.7)
+    u = c * dx + s * dy
+    w = s * dx - c * dy
+    want = (u / 2.0) ** 2 + (w / 1.0) ** 2 <= 1.0
+    np.testing.assert_array_equal(np.asarray(m), want)
+
+
+def test_bilinear_grad_matches_fd():
+    rng = np.random.default_rng(5)
+    data = jnp.asarray(rng.uniform(0, 100, (20, 20)))
+    geom = gridmap.make_geom([0.0, 0.0], 0.2, 20, 20, dtype=jnp.float64)
+    pts = jnp.asarray(rng.uniform(-1.5, 1.5, (50, 2)))
+    val, grad = gridmap.sample_bilinear_with_grad(data, geom, pts)
+    eps = 1e-6
+    for k in range(2):
+        e = np.zeros(2)
+        e[k] = eps
+        vp, _ = gridmap.sample_bilinear_with_grad(data, geom, pts + jnp.asarray(e))
+        vm, _ = gridmap.sample_bilinear_with_grad(data, geom, pts - jnp.asarray(e))
+        fd = (np.asarray(vp) - np.asarray(vm)) / (2 * eps)
+        np.testing.assert_allclose(np.asarray(grad[:, k]), fd, atol=1e-4)
+
+
+# ------------------------------------------------------ uncertainty kernel
+@pytest.mark.parametrize("yaw", [0.0, 0.9, 3.5])
+@pytest.mark.parametrize("faithful", [False, True])
+def test_propagation_matches_ellipse_iterator_oracle(yaw, faithful):
+    """Fixed-window masked propagation == exact EllipseIterator semantics,
+    in both the corrected-PSD and reference-faithful rho modes."""
+    cp = small_costmap_params(sigma_x=0.08, sigma_y=0.06, sigma_theta=0.05)
+    rng = np.random.default_rng(9)
+    prior = rng.uniform(0, 100, (cp.rows, cp.cols))
+    center = np.array([1.2, -0.4])
+
+    need = costmap.required_window_radius(cp, cp.rows, cp.cols, center)
+    assert need <= cp.window_radius, (need, cp.window_radius)
+
+    geom = gridmap.make_geom(center, cp.resolution, cp.rows, cp.cols, dtype=jnp.float64)
+    got = np.asarray(
+        costmap.propagate_uncertainty_reference(
+            cp, jnp.asarray(prior), geom, jnp.asarray(yaw), faithful_rho=faithful
+        )
+    )
+    want = oracle_costmap.propagate(cp, prior, center, yaw, faithful_rho=faithful)
+    np.testing.assert_allclose(got, want, rtol=1e-9, atol=1e-9)
+
+
+def test_propagation_tiny_sigma_is_identity_like():
+    """With near-zero sigma the ellipse collapses to the center cell."""
+    cp = small_costmap_params(sigma_x=1e-4, sigma_y=1e-4, sigma_theta=1e-6)
+    rng = np.random.default_rng(10)
+    prior = rng.uniform(0, 100, (cp.rows, cp.cols))
+    geom = gridmap.make_geom([0.0, 0.0], cp.resolution, cp.rows, cp.cols, dtype=jnp.float64)
+    got = np.asarray(
+        costmap.propagate_uncertainty_reference(cp, jnp.asarray(prior), geom, jnp.asarray(0.3))
+    )
+    np.testing.assert_allclose(got, prior, atol=1e-6)
+
+
+# --------------------------------------------------------------- full tick
+def test_build_local_costmap_pipeline(global_plan):
+    # taller grid: the corridor-derived center sits ~2.6 m left of the lane
+    # (8 m left / 4 m right corridor), so the map must span back to y~0
+    cp = small_costmap_params(cols=48)
+    rng = np.random.default_rng(13)
+    gmap = jnp.asarray(rng.uniform(0, 100, (64, 64)))
+    ggeom = gridmap.make_geom([100.0, -305.0], 2.0, 64, 64, dtype=jnp.float64)
+
+    wpts = jnp.asarray(global_plan)
+    ego = jnp.asarray([100.0, -305.6, 4.0, 0.05])
+    # first obstacle ~15 m ahead of the ego — inside the corridor-centered
+    # small test map (center x = x_len/2 - 5 ~ 15 m); second beyond the gate
+    obs_xy = jnp.asarray([[115.0, -305.0], [500.0, 500.0]])
+    obs_size = jnp.asarray([[3.63, 1.84], [3.63, 1.84]])
+    obs_yaw = jnp.asarray([0.1, 0.0])
+    obs_mask = jnp.asarray([1.0, 1.0])
+
+    out = costmap.build_local_costmap(
+        cp, gmap, ggeom, wpts, jnp.asarray(wpts.shape[0]), ego,
+        obs_xy, obs_size, obs_yaw, obs_mask,
+    )
+    assert out.uncertainty_map.shape == (cp.rows, cp.cols)
+    # obstacle 1 is in range -> some cells rasterized at 100; obstacle 2 is
+    # beyond the 100 m gate -> contributes nothing
+    assert float(jnp.max(out.bounding_box_map)) == 100.0
+    assert np.isfinite(np.asarray(out.uncertainty_map)).all()
+    # bbox cells override the prior in vehicle_map (local_costmap.cpp:260-263)
+    bb = np.asarray(out.bounding_box_map) > 90
+    np.testing.assert_allclose(np.asarray(out.vehicle_map)[bb], 100.0)
+
+
+def test_corridor_geometry_moves_with_ego(global_plan):
+    cp = small_costmap_params()
+    wpts = jnp.asarray(global_plan)
+    n = jnp.asarray(wpts.shape[0])
+    c1, (xl1, yl1) = costmap.corridor_geometry(
+        cp, wpts, n, jnp.asarray([100.0, -305.6]), jnp.asarray(0.05)
+    )
+    c2, _ = costmap.corridor_geometry(
+        cp, wpts, n, jnp.asarray([130.0, -304.0]), jnp.asarray(0.0)
+    )
+    assert np.isfinite(np.asarray(c1)).all() and np.isfinite(np.asarray(c2)).all()
+    # corridor spans ~40 waypoints ahead plus 12 m laterally
+    assert float(xl1) > 10.0 and float(yl1) >= 12.0
