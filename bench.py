@@ -1,0 +1,94 @@
+"""Benchmark: batched uncertainty-aware CILQR solves/s on one TPU chip.
+
+Headline metric (BASELINE.json): CILQR solves/s at N=50 horizon with full
+barrier constraints (control bounds, elliptic obstacles, uncertainty-map
+barrier), batched via vmap.  Baseline target: >= 1000 solves/s on a v5e-8;
+``vs_baseline`` reports the ratio of this single-chip number to that full
+8-chip target (>1.0 means one chip beats the whole-pod bar).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...extras}
+
+Env knobs: BENCH_BATCH (default 1024), BENCH_ITERS (default 20).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from __graft_entry__ import _scenario
+    from cilqr_tpu.models import solver
+    from cilqr_tpu.parallel import batch as pbatch
+    from cilqr_tpu.utils.params import SolverParams
+
+    B = int(os.environ.get("BENCH_BATCH", "1024"))
+    iters = int(os.environ.get("BENCH_ITERS", "20"))
+
+    p = dataclasses.replace(SolverParams(), horizon=50)
+    plan, n, ego, U0, obstacles, unc = _scenario(p, jnp.float32)
+
+    rng = np.random.default_rng(2)
+    egos = jnp.asarray(np.asarray(ego)[None, :] + rng.normal(0, 0.3, (B, 4)), jnp.float32)
+    U0s = jnp.broadcast_to(U0, (B,) + U0.shape)
+
+    fn = jax.jit(
+        lambda e, u: pbatch.batched_solve(p, plan, n, e, u, obstacles, unc)
+    )
+
+    # warmup / compile
+    out = fn(egos, U0s)
+    jax.block_until_ready(out)
+
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(egos, U0s)
+    jax.block_until_ready(out)
+    dt = (time.perf_counter() - t0) / iters
+    solves_per_sec = B / dt
+
+    # p99 end-to-end single-solve latency (dispatch + solve, warm cache)
+    single = jax.jit(
+        lambda e, u: solver.run_step(p, plan, n, e, u, obstacles, unc)
+    )
+    s_out = single(egos[0], U0s[0])
+    jax.block_until_ready(s_out)
+    lat = []
+    for i in range(50):
+        t1 = time.perf_counter()
+        s_out = single(egos[i % B], U0s[0])
+        jax.block_until_ready(s_out)
+        lat.append(time.perf_counter() - t1)
+    p99 = float(np.percentile(lat, 99))
+
+    mean_iters = float(jnp.mean(out.iterations.astype(jnp.float32)))
+    print(
+        json.dumps(
+            {
+                "metric": "cilqr_solves_per_sec_1chip_N50_full_constraints",
+                "value": round(solves_per_sec, 1),
+                "unit": "solves/s",
+                "vs_baseline": round(solves_per_sec / 1000.0, 3),
+                "batch": B,
+                "batched_step_ms": round(dt * 1e3, 3),
+                "p99_single_solve_ms": round(p99 * 1e3, 3),
+                "p99_under_budget": p99 < 0.1,
+                "mean_lm_iterations": round(mean_iters, 2),
+                "device": str(jax.devices()[0]),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    sys.exit(main())
