@@ -1,0 +1,131 @@
+"""Closed-loop plant: the pure-JAX replacement for CARLA + ros-bridge.
+
+Replaces the reference's simulation stack (CARLA server, carla-ros-bridge,
+vehiclepub spawner) for benchmarking and regression tests:
+
+  * plant dynamics  = the same kinematic bicycle the planner assumes
+    (receding-horizon application of U[0], ilqr_uncertainty_node.cpp:129)
+  * localization noise = per-cycle N(0, sigma) on x/y/theta
+    (ilqr_uncertainty_node.cpp:82-110 — deliberately a *feature*)
+  * collision ground truth = SAT OBB checks against every obstacle
+    (Experiment.cpp + the CARLA collision sensors, main.py:65-75)
+  * experiment record = per-cycle (start_pos, X, U, J, iters) streams, the
+    /experiment topic payload (vehiclepub/msg/Experiment.msg)
+
+The whole closed loop is one ``lax.scan`` -> jittable, vmappable over
+scenario batches, shardable over meshes.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from cilqr_tpu.models import dynamics, solver
+from cilqr_tpu.sim import collision
+from cilqr_tpu.utils.params import NoiseParams, SolverParams
+
+
+class AckermannCmd(NamedTuple):
+    """The /carla/ego_vehicle/ackermann_cmd payload
+    (ilqr_uncertainty_node.cpp:229-238)."""
+
+    steering_angle: jax.Array        # = yaw-rate control (reference quirk)
+    steering_angle_velocity: jax.Array
+    speed: jax.Array                 # = current speed + accel
+    acceleration: jax.Array
+    jerk: jax.Array
+
+
+def to_ackermann(speed: jax.Array, u0: jax.Array) -> AckermannCmd:
+    """publishVehicleCmd semantics: speed+accel as target speed, the yaw-rate
+    control published in the steering_angle field."""
+    z = jnp.zeros_like(speed)
+    return AckermannCmd(u0[1], z, speed + u0[0], z, z)
+
+
+class ExperimentRecord(NamedTuple):
+    """Per-cycle /experiment payload (+ solver telemetry)."""
+
+    start_pos: jax.Array   # (T, 4) true ego state at cycle start
+    noisy_pos: jax.Array   # (T, 4) state fed to the planner
+    X: jax.Array           # (T, N+1, 4) planned trajectories
+    U: jax.Array           # (T, N, 2) planned controls
+    J: jax.Array           # (T,)
+    iterations: jax.Array  # (T,)
+    collided: jax.Array    # (T,) any-obstacle SAT hit at cycle start
+
+
+def inject_noise(noise: NoiseParams, key: jax.Array, state: jax.Array) -> jax.Array:
+    """N(0, sigma) on x, y, theta (ilqr_uncertainty_node.cpp:82-110)."""
+    r = jax.random.normal(key, (3,), dtype=state.dtype)
+    return state.at[0].add(noise.sigma_x * r[0]).at[1].add(noise.sigma_y * r[1]).at[3].add(
+        noise.sigma_theta * r[2]
+    )
+
+
+def check_collisions(p: SolverParams, state, obs_xyyaw, obs_size, obs_mask):
+    """Any SAT overlap between the ego footprint and a live obstacle."""
+    ego = (state[0], state[1], state[3], jnp.asarray(p.length, state.dtype),
+           jnp.asarray(p.width, state.dtype))
+
+    def one(o, m):
+        hit = collision.is_collision(
+            ego, (o[0], o[1], o[2], obs_size[0], obs_size[1])
+        )
+        return jnp.logical_and(hit, m > 0)
+
+    return jnp.any(jax.vmap(one)(obs_xyyaw, obs_mask))
+
+
+def closed_loop(
+    p: SolverParams,
+    noise: NoiseParams,
+    plan_xy: jax.Array,
+    plan_n: jax.Array,
+    x0: jax.Array,
+    key: jax.Array,
+    n_cycles: int,
+    obstacles=None,
+    unc_map=None,
+    obs_xyyaw: Optional[jax.Array] = None,
+    obs_size: Optional[jax.Array] = None,
+    obs_mask: Optional[jax.Array] = None,
+) -> tuple[jax.Array, ExperimentRecord]:
+    """Run ``n_cycles`` plan->act cycles (apply U[0], receding horizon).
+
+    Returns (final_state, ExperimentRecord).  The system bring-up sequence
+    of SURVEY.md §3.4 collapses into this one function: no processes, no
+    topics, one differentiable program.
+    """
+    dtype = x0.dtype
+    U0 = solver.initial_controls(p, dtype=dtype)
+    have_obs = obs_xyyaw is not None
+
+    def cycle(carry, key_t):
+        state, U_warm = carry
+        noisy = inject_noise(noise, key_t, state)
+        res = solver.run_step(p, plan_xy, plan_n, noisy, U_warm, obstacles, unc_map)
+        if have_obs:
+            hit = check_collisions(p, state, obs_xyyaw, obs_size, obs_mask)
+        else:
+            hit = jnp.asarray(False)
+        # apply only the first control (ilqr_uncertainty_node.cpp:129)
+        nxt = dynamics.step(p, state, res.U[0])
+        rec = (state, noisy, res.X, res.U, res.J, res.iterations, hit)
+        return (nxt, res.U), rec
+
+    keys = jax.random.split(key, n_cycles)
+    (xf, _), recs = jax.lax.scan(cycle, (x0, U0), keys)
+    return xf, ExperimentRecord(*recs)
+
+
+@partial(jax.jit, static_argnums=(0, 1, 6))
+def closed_loop_jit(p, noise, plan_xy, plan_n, x0, key, n_cycles,
+                    obstacles=None, unc_map=None,
+                    obs_xyyaw=None, obs_size=None, obs_mask=None):
+    return closed_loop(p, noise, plan_xy, plan_n, x0, key, n_cycles,
+                       obstacles, unc_map, obs_xyyaw, obs_size, obs_mask)

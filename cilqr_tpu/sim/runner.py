@@ -1,0 +1,121 @@
+"""Experiment runner: closed-loop scenarios with wall-clock planning times.
+
+The analog of the reference's bring-up + record procedure (SURVEY.md §3.4:
+CARLA -> bridge -> vehiclepub -> map_engine -> ilqr node -> rosbag record):
+one function call.  Two modes:
+
+  * ``run_experiment``: Python-level cycle loop that measures *wall-clock*
+    planning time per cycle (the std::chrono timing at
+    ilqr_uncertainty_node.cpp:116-124) and streams records to the native
+    experiment log (see ``cilqr_tpu.utils.explog``).
+  * ``plant.closed_loop_jit``: fully-fused on-device loop for throughput
+    (no per-cycle host round trip) — use for batch Monte-Carlo.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cilqr_tpu.models import dynamics, obstacles as obs_mod, solver
+from cilqr_tpu.models import reference_path as rp
+from cilqr_tpu.sim import plant, scenarios
+from cilqr_tpu.utils.params import NoiseParams, SolverParams
+
+
+def build_scenario_inputs(p: SolverParams, scenario: scenarios.Scenario, dtype=jnp.float32):
+    """Obstacles pytree + raw (M,3) pose array for a named scenario."""
+    xyyaw = scenario.obstacles_xyyaw
+    M = xyyaw.shape[0]
+    ob = obs_mod.make_static_obstacles(
+        p,
+        xyyaw[:, :2],
+        np.tile(np.asarray(scenario.obstacle_size), (M, 1)),
+        xyyaw[:, 2],
+        dtype=dtype,
+    )
+    # pad poses to max_obstacles to line up with ob.mask (padding far away)
+    pad = np.full((p.max_obstacles - M, 3), 1e6)
+    obs_xyyaw = jnp.asarray(np.concatenate([xyyaw, pad], axis=0), dtype)
+    obs_size = jnp.asarray(scenario.obstacle_size, dtype)
+    return ob, obs_xyyaw, obs_size, ob.mask
+
+
+def run_experiment(
+    p: SolverParams,
+    noise: NoiseParams,
+    plan_np: np.ndarray,
+    x0: np.ndarray,
+    n_cycles: int,
+    scenario: Optional[scenarios.Scenario] = None,
+    unc_map=None,
+    seed: int = 0,
+    dtype=jnp.float32,
+    log=None,
+):
+    """Closed-loop run with per-cycle wall-clock planning times.
+
+    Returns dict of stacked per-cycle arrays (the /experiment bag payload)
+    including measured ``planning_time``; optionally appends every record to
+    a native ``cilqr_tpu.utils.explog.ExperimentLog``.
+    """
+    plan, n = rp.pad_global_plan(p, plan_np, dtype=dtype)
+    if scenario is not None:
+        ob, obs_xyyaw, obs_size, obs_mask = build_scenario_inputs(p, scenario, dtype)
+    else:
+        ob = obs_xyyaw = obs_size = obs_mask = None
+
+    solve = jax.jit(
+        lambda e, u: solver.run_step(p, plan, n, e, u, ob, unc_map)
+    )
+    step = jax.jit(lambda s, u0: dynamics.step(p, s, u0))
+
+    key = jax.random.key(seed)
+    state = jnp.asarray(x0, dtype)
+    U_warm = solver.initial_controls(p, dtype=dtype)
+
+    recs = {k: [] for k in ("start_time", "start_pos", "noisy_pos", "planning_time",
+                            "X", "U", "J", "iterations", "collided")}
+    t_start = time.time()
+    for t in range(n_cycles):
+        key, k_t = jax.random.split(key)
+        noisy = plant.inject_noise(noise, k_t, state)
+
+        t0 = time.perf_counter()
+        res = solve(noisy, U_warm)
+        jax.block_until_ready(res)
+        planning_time = time.perf_counter() - t0
+
+        if scenario is not None:
+            hit = bool(
+                plant.check_collisions(p, state, obs_xyyaw, obs_size, obs_mask)
+            )
+        else:
+            hit = False
+
+        recs["start_time"].append(time.time() - t_start)
+        recs["start_pos"].append(np.asarray(state))
+        recs["noisy_pos"].append(np.asarray(noisy))
+        recs["planning_time"].append(planning_time)
+        recs["X"].append(np.asarray(res.X))
+        recs["U"].append(np.asarray(res.U))
+        recs["J"].append(float(res.J))
+        recs["iterations"].append(int(res.iterations))
+        recs["collided"].append(hit)
+        if log is not None:
+            log.append(
+                start_time=recs["start_time"][-1],
+                start_pos=recs["start_pos"][-1],
+                planning_time=planning_time,
+                X=recs["X"][-1],
+                U=recs["U"][-1],
+            )
+
+        state = step(state, res.U[0])
+        U_warm = res.U
+
+    return {k: np.asarray(v) for k, v in recs.items()}
