@@ -1,0 +1,198 @@
+"""Occupancy-map IO with ROS map_server semantics.
+
+Replaces the reference's map stack: the map_server YAML+image pairs
+(``map_engine/maps/Town02.yaml``, ``h301.yaml``: image, resolution 0.2,
+origin, negate, occupied_thresh 0.65, free_thresh 0.196) and the TGA->PNG
+thresholding script (``map_engine/maps/convert.py:1-19``).
+
+PNG decoding is implemented here directly (stdlib zlib + struct) so the
+framework carries no imaging dependency; 8/16-bit gray and RGB(A) PNGs are
+supported — enough for map_server-style maps.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import pathlib
+import struct
+import zlib
+
+import numpy as np
+
+
+@dataclasses.dataclass(frozen=True)
+class MapInfo:
+    image: str
+    resolution: float
+    origin: tuple  # (x, y, yaw) of the lower-left pixel
+    negate: int = 0
+    occupied_thresh: float = 0.65
+    free_thresh: float = 0.196
+
+
+def parse_map_yaml(path: str) -> MapInfo:
+    """Minimal parser for map_server YAML (flat key: value lines)."""
+    kv = {}
+    for line in pathlib.Path(path).read_text().splitlines():
+        line = line.split("#")[0].strip()
+        if not line or ":" not in line:
+            continue
+        k, v = line.split(":", 1)
+        kv[k.strip()] = v.strip()
+    origin = kv.get("origin", "[0, 0, 0]").strip("[]")
+    origin = tuple(float(x) for x in origin.split(","))
+    return MapInfo(
+        image=kv["image"],
+        resolution=float(kv["resolution"]),
+        origin=origin,
+        negate=int(kv.get("negate", 0)),
+        occupied_thresh=float(kv.get("occupied_thresh", 0.65)),
+        free_thresh=float(kv.get("free_thresh", 0.196)),
+    )
+
+
+def read_png(path: str) -> np.ndarray:
+    """Decode a PNG into (H, W) grayscale uint8 (RGB averaged)."""
+    data = pathlib.Path(path).read_bytes()
+    if data[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError(f"{path} is not a PNG")
+    pos = 8
+    idat = b""
+    width = height = bitdepth = ctype = None
+    while pos < len(data):
+        (length,) = struct.unpack(">I", data[pos : pos + 4])
+        ctag = data[pos + 4 : pos + 8]
+        chunk = data[pos + 8 : pos + 8 + length]
+        pos += 12 + length
+        if ctag == b"IHDR":
+            width, height, bitdepth, ctype, comp, filt, interlace = struct.unpack(
+                ">IIBBBBB", chunk
+            )
+            if interlace:
+                raise ValueError("interlaced PNG unsupported")
+        elif ctag == b"IDAT":
+            idat += chunk
+        elif ctag == b"IEND":
+            break
+    raw = zlib.decompress(idat)
+
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[ctype]
+    if ctype == 3:
+        raise ValueError("palette PNG unsupported")
+    bpp_bits = channels * bitdepth
+    stride = (width * bpp_bits + 7) // 8
+    fbytes = max(1, bpp_bits // 8)
+
+    out = np.zeros((height, stride), np.uint8)
+    prev = np.zeros(stride, np.int32)
+    off = 0
+    for r in range(height):
+        ftype = raw[off]
+        line = np.frombuffer(raw[off + 1 : off + 1 + stride], np.uint8).astype(np.int32)
+        off += 1 + stride
+        cur = np.zeros(stride, np.int32)
+        if ftype == 0:
+            cur = line
+        elif ftype == 2:
+            cur = (line + prev) & 0xFF
+        else:
+            for i in range(stride):
+                a = cur[i - fbytes] if i >= fbytes else 0
+                b = prev[i]
+                c = prev[i - fbytes] if i >= fbytes else 0
+                if ftype == 1:
+                    cur[i] = (line[i] + a) & 0xFF
+                elif ftype == 3:
+                    cur[i] = (line[i] + (a + b) // 2) & 0xFF
+                elif ftype == 4:  # Paeth
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                    cur[i] = (line[i] + pred) & 0xFF
+                else:
+                    raise ValueError(f"bad filter {ftype}")
+        out[r] = cur.astype(np.uint8)
+        prev = cur
+
+    if bitdepth == 16:
+        px = out.view(">u2").reshape(height, width, channels)[..., :]
+        px = (px >> 8).astype(np.uint8)
+    elif bitdepth == 8:
+        px = out.reshape(height, stride)[:, : width * channels].reshape(
+            height, width, channels
+        )
+    else:
+        raise ValueError(f"bitdepth {bitdepth} unsupported")
+
+    if channels >= 3:
+        gray = px[..., :3].mean(axis=-1).astype(np.uint8)
+    elif channels == 2:
+        gray = px[..., 0]
+    else:
+        gray = px[..., 0]
+    return gray
+
+
+def write_png(path: str, gray: np.ndarray) -> None:
+    """Encode (H, W) uint8 grayscale as PNG (filter 0) — the convert.py
+    equivalent output path."""
+    gray = np.ascontiguousarray(gray, np.uint8)
+    h, w = gray.shape
+    raw = b"".join(b"\x00" + gray[r].tobytes() for r in range(h))
+
+    def chunk(tag, payload):
+        c = struct.pack(">I", len(payload)) + tag + payload
+        return c + struct.pack(">I", zlib.crc32(tag + payload) & 0xFFFFFFFF)
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+    data = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+    pathlib.Path(path).write_bytes(data)
+
+
+def threshold_image(gray: np.ndarray, thresh: int = 150, low: int = 0, high: int = 254) -> np.ndarray:
+    """convert.py:1-19 semantics: binary-threshold the scanned map so dark
+    pixels become occupied (0) and light become free (254)."""
+    return np.where(gray < thresh, low, high).astype(np.uint8)
+
+
+def occupancy_from_image(gray: np.ndarray, info: MapInfo) -> np.ndarray:
+    """map_server interpretation: p = (255 - v)/255 (or v/255 when negate),
+    p > occupied_thresh -> 100, p < free_thresh -> 0, else -1 (unknown)."""
+    v = gray.astype(np.float64) / 255.0
+    p = v if info.negate else 1.0 - v
+    occ = np.full(gray.shape, -1.0)
+    occ[p > info.occupied_thresh] = 100.0
+    occ[p < info.free_thresh] = 0.0
+    return occ
+
+
+def load_map(yaml_path: str):
+    """(occupancy (H, W) in {-1, 0, 100}, MapInfo) from a map_server YAML.
+
+    The occupancy row/col layout is image-native (row 0 = top scanline);
+    ``to_gridmap_array`` reorients it into the framework's GridGeom
+    convention (index (0,0) at the (+x, +y) corner).
+    """
+    info = parse_map_yaml(yaml_path)
+    img = read_png(str(pathlib.Path(yaml_path).parent / info.image))
+    return occupancy_from_image(img, info), info
+
+
+def to_gridmap_array(occ: np.ndarray, info: MapInfo, unknown_value: float = 0.0):
+    """Reorient a map_server occupancy image into (data, center) for
+    ``gridmap.make_geom``: grid_map axis 0 = +x (image cols, reversed),
+    axis 1 = +y (image rows bottom-up, reversed)."""
+    h, w = occ.shape
+    # image: row 0 top (max y), col 0 left (min x); origin = lower-left cell
+    data = np.where(occ < 0, unknown_value, occ)
+    # -> (x, y) indexed ascending: transpose then flip x; y already descends
+    # grid_map wants index 0 at MAX x and MAX y:
+    arr = data.T[::-1, :]  # axis0: x descending; axis1: y descending (row0=top)
+    cx = info.origin[0] + w * info.resolution / 2.0
+    cy = info.origin[1] + h * info.resolution / 2.0
+    return np.ascontiguousarray(arr), (cx, cy)
