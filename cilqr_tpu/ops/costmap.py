@@ -176,7 +176,12 @@ def sample_prior(
 
 
 def cell_sigma_rho(
-    cp: CostmapParams, xs: jax.Array, ys: jax.Array, ego_yaw: jax.Array, faithful: bool = False
+    cp: CostmapParams,
+    xs: jax.Array,
+    ys: jax.Array,
+    ego_yaw: jax.Array,
+    faithful: bool = False,
+    sigmas=None,
 ):
     """Per-cell propagated covariance terms (sigma_x_i, sigma_y_i, rho).
 
@@ -206,9 +211,13 @@ def cell_sigma_rho(
         t = s * c * (Cx * Cx - Cy * Cy) + Cx * Cy * (s * s - c * c)
     else:
         t = g1 * g2
-    sx = jnp.sqrt(cp.sigma_x**2 + cp.sigma_theta**2 * u)
-    sy = jnp.sqrt(cp.sigma_y**2 + cp.sigma_theta**2 * v)
-    rho = cp.sigma_theta**2 * t / (sx * sy)
+    if sigmas is None:
+        s_x, s_y, s_t = cp.sigma_x, cp.sigma_y, cp.sigma_theta
+    else:
+        s_x, s_y, s_t = sigmas
+    sx = jnp.sqrt(s_x**2 + s_t**2 * u)
+    sy = jnp.sqrt(s_y**2 + s_t**2 * v)
+    rho = s_t**2 * t / (sx * sy)
     return sx, sy, rho
 
 
@@ -237,6 +246,7 @@ def propagate_uncertainty_reference(
     geom: gridmap.GridGeom,
     ego_yaw: jax.Array,
     faithful_rho: bool = False,
+    sigmas=None,
 ) -> jax.Array:
     """Pure-JAX (XLA) uncertainty propagation — the semantics oracle for the
     Pallas kernel and the CPU/compat path.
@@ -252,7 +262,7 @@ def propagate_uncertainty_reference(
     dtype = prior.dtype
     R = cp.window_radius
     xs, ys = gridmap.cell_positions(geom, rows, cols)
-    sx, sy, rho = cell_sigma_rho(cp, xs, ys, ego_yaw, faithful=faithful_rho)
+    sx, sy, rho = cell_sigma_rho(cp, xs, ys, ego_yaw, faithful=faithful_rho, sigmas=sigmas)
     sx = sx.astype(dtype)
     sy = sy.astype(dtype)
     rho = rho.astype(dtype)
