@@ -9,7 +9,9 @@ barrier), batched via vmap.  Baseline target: >= 1000 solves/s on a v5e-8;
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...extras}
 
-Env knobs: BENCH_BATCH (default 1024), BENCH_ITERS (default 20).
+Env knobs: BENCH_BATCH (default 4096), BENCH_ITERS (default 10),
+BENCH_PATH ("fused" (default) = Pallas Riccati fast path, "vmap" =
+reference vmap path).
 """
 
 from __future__ import annotations
@@ -32,8 +34,9 @@ def main():
     from cilqr_tpu.parallel import batch as pbatch
     from cilqr_tpu.utils.params import SolverParams
 
-    B = int(os.environ.get("BENCH_BATCH", "1024"))
-    iters = int(os.environ.get("BENCH_ITERS", "20"))
+    B = int(os.environ.get("BENCH_BATCH", "4096"))
+    iters = int(os.environ.get("BENCH_ITERS", "10"))
+    path = os.environ.get("BENCH_PATH", "fused")
 
     p = dataclasses.replace(SolverParams(), horizon=50)
     plan, n, ego, U0, obstacles, unc = _scenario(p, jnp.float32)
@@ -42,9 +45,16 @@ def main():
     egos = jnp.asarray(np.asarray(ego)[None, :] + rng.normal(0, 0.3, (B, 4)), jnp.float32)
     U0s = jnp.broadcast_to(U0, (B,) + U0.shape)
 
-    fn = jax.jit(
-        lambda e, u: pbatch.batched_solve(p, plan, n, e, u, obstacles, unc)
-    )
+    if path == "fused":
+        from cilqr_tpu.models import solver_batched
+
+        fn = jax.jit(
+            lambda e, u: solver_batched.run_steps_batched(p, plan, n, e, u, obstacles, unc)
+        )
+    else:
+        fn = jax.jit(
+            lambda e, u: pbatch.batched_solve(p, plan, n, e, u, obstacles, unc)
+        )
 
     # warmup / compile
     out = fn(egos, U0s)
@@ -61,10 +71,11 @@ def main():
     single = jax.jit(
         lambda e, u: solver.run_step(p, plan, n, e, u, obstacles, unc)
     )
-    s_out = single(egos[0], U0s[0])
-    jax.block_until_ready(s_out)
+    for i in range(10):  # warm: compile + settle the tunnel/dispatch path
+        s_out = single(egos[i % B], U0s[0])
+        jax.block_until_ready(s_out)
     lat = []
-    for i in range(50):
+    for i in range(100):
         t1 = time.perf_counter()
         s_out = single(egos[i % B], U0s[0])
         jax.block_until_ready(s_out)
@@ -79,6 +90,7 @@ def main():
                 "value": round(solves_per_sec, 1),
                 "unit": "solves/s",
                 "vs_baseline": round(solves_per_sec / 1000.0, 3),
+                "path": path,
                 "batch": B,
                 "batched_step_ms": round(dt * 1e3, 3),
                 "p99_single_solve_ms": round(p99 * 1e3, 3),

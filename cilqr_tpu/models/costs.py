@@ -163,3 +163,55 @@ def all_cost_derivs(
     l_u, l_uu = control_cost_derivs(p, X, U)
     l_ux = jnp.zeros((N, 2, 4), dtype=X.dtype)
     return CostDerivs(l_x, l_xx, l_u, l_uu, l_ux)
+
+
+def all_cost_derivs_and_J(
+    p: SolverParams,
+    plan: LocalPlan,
+    X: jax.Array,
+    U: jax.Array,
+    obstacles=None,
+    unc_map=None,
+):
+    """Fused (CostDerivs, J): one closest-point pass serves both the
+    tracking derivatives (Constraints.cpp:161-175) and the acceptance cost
+    (Constraints.cpp:534-561) since both evaluate at X[0..N-1] — the
+    reference recomputes the 200-sample scan twice per LM iteration
+    (backward_pass + get_J, iLQR.cpp:213,217)."""
+    N = U.shape[0]
+    dtype = X.dtype
+    Xh = X[:N]
+    cp = find_closest_points(plan, Xh)  # (N, 2) shared
+
+    # tracking derivatives
+    err = jnp.stack(
+        [
+            Xh[:, 0] - cp[:, 0],
+            Xh[:, 1] - cp[:, 1],
+            Xh[:, 2] - p.desired_speed,
+            jnp.zeros((N,), dtype=dtype),
+        ],
+        axis=-1,
+    )
+    Q = jnp.diag(jnp.array([p.w_pos, p.w_pos, p.w_vel, 0.0], dtype=dtype))
+    l_x = 2.0 * (err @ Q)
+    l_xx = jnp.broadcast_to(2.0 * Q, (N, 4, 4))
+    if obstacles is not None:
+        ovx, omx = obstacles_mod.obstacle_cost_derivs(p, obstacles, Xh)
+        l_x = l_x + p.w_obstacle * ovx
+        l_xx = l_xx + p.w_obstacle * omx
+    if unc_map is not None:
+        _, uvx, umx = uncertainty_mod.uncertainty_cost(p, unc_map, Xh)
+        l_x = l_x + p.w_uncertainty * uvx
+        l_xx = l_xx + p.w_uncertainty * umx
+
+    l_u, l_uu = control_cost_derivs(p, X, U)
+    l_ux = jnp.zeros((N, 2, 4), dtype=dtype)
+
+    # acceptance cost J (yaw slot present but weighted 0)
+    qdiag = jnp.array([p.w_pos, p.w_pos, p.w_vel, 0.0], dtype=dtype)
+    rdiag = jnp.array([p.w_acc, p.w_yawrate], dtype=dtype)
+    errJ = err.at[:, 3].set(Xh[:, 3])
+    J = jnp.sum(errJ * errJ * qdiag[None, :]) + jnp.sum(U * U * rdiag[None, :])
+
+    return CostDerivs(l_x, l_xx, l_u, l_uu, l_ux), J

@@ -66,7 +66,7 @@ def rollout(p: SolverParams, x0: jax.Array, U: jax.Array) -> jax.Array:
         xn = step(p, x, u)
         return xn, xn
 
-    _, Xs = jax.lax.scan(body, x0, U)
+    _, Xs = jax.lax.scan(body, x0, U, unroll=p.scan_unroll)
     return jnp.concatenate([x0[None, :], Xs], axis=0)
 
 

@@ -71,9 +71,13 @@ def backward_pass(
     """Riccati/DDP backward recursion -> (k (N,2), K (N,2,4)).
 
     One reverse ``lax.scan`` over per-step stacks (iLQR.cpp:91-195)."""
-    N = p.horizon
     d = costs_mod.all_cost_derivs(p, plan, X, U, obstacles, unc_map)
+    return backward_from_derivs(p, d, X, U, lamb)
 
+
+def backward_from_derivs(p: SolverParams, d, X: jax.Array, U: jax.Array, lamb: jax.Array):
+    """Backward recursion from precomputed cost derivatives."""
+    N = p.horizon
     # parity quirk: jacobians at successor states (iLQR.cpp:102-106)
     fx, fu = dynamics.jacobians(p, X[1:, 2], X[1:, 3], U[:, 0])
 
@@ -99,7 +103,10 @@ def backward_pass(
 
     inputs = (d.l_x, d.l_xx, d.l_u, d.l_uu, fx, fu)
     (_, _), (k_rev, K_rev) = jax.lax.scan(
-        step, (V_x0, V_xx0), jax.tree.map(lambda a: a[::-1], inputs)
+        step,
+        (V_x0, V_xx0),
+        jax.tree.map(lambda a: a[::-1], inputs),
+        unroll=p.scan_unroll,
     )
     return k_rev[::-1], K_rev[::-1]
 
@@ -113,7 +120,7 @@ def forward_pass(p: SolverParams, X: jax.Array, U: jax.Array, k: jax.Array, K: j
         xn = dynamics.step(p, x, u)
         return xn, (xn, u)
 
-    _, (Xs, U_new) = jax.lax.scan(step, X[0], (X[:-1], U, k, K))
+    _, (Xs, U_new) = jax.lax.scan(step, X[0], (X[:-1], U, k, K), unroll=p.scan_unroll)
     X_new = jnp.concatenate([X[:1], Xs], axis=0)
     return X_new, U_new
 
@@ -142,10 +149,11 @@ def optimize(
 
     def body(carry):
         X, U, J_old, lamb, it, done = carry
-        k, K = backward_pass(p, plan, X, U, lamb, obstacles, unc_map)
+        # fused: one closest-point pass feeds both the derivatives and the
+        # acceptance cost J of the pre-update trajectory (iLQR.cpp:213,217)
+        d, J_new = costs_mod.all_cost_derivs_and_J(p, plan, X, U, obstacles, unc_map)
+        k, K = backward_from_derivs(p, d, X, U, lamb)
         X_new, U_new = forward_pass(p, X, U, k, K)
-        # parity quirk: J evaluated on the pre-update trajectory (iLQR.cpp:217)
-        J_new = costs_mod.total_cost_J(p, plan, X, U)
 
         accept = J_new < J_old
         X_n = jnp.where(accept, X_new, X)

@@ -1,0 +1,129 @@
+"""Batch-level CILQR solver: the throughput fast path.
+
+``solver.run_step`` under ``vmap`` reproduces the reference exactly but pays
+for the backward recursion as ~50 sequential batched micro-ops per LM
+iteration.  This module restructures the *same algorithm* at the batch
+level so the backward pass is one fused Pallas kernel call
+(``ops.riccati_pallas``) per iteration:
+
+  LM while_loop (batch-level, per-lane masks)
+    ├─ batched cost derivs + J          (one fused XLA region, vmapped math)
+    ├─ backward: riccati_pallas kernel  (whole recursion in VMEM)
+    ├─ forward: batch-level lax.scan    (50 steps of (B, ...) fused ops)
+    └─ per-lane accept/reject + lambda updates (iLQR.cpp:211-239)
+
+Semantics match ``solver.run_step`` per lane (same quirks, same masked
+convergence) — locked by tests/test_solver_batched.py.  Batch must be a
+multiple of ``riccati_pallas.TILE`` (1024); smaller studies should use the
+reference vmap path.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from cilqr_tpu.models import costs as costs_mod, dynamics, solver
+from cilqr_tpu.models.reference_path import get_local_plan
+from cilqr_tpu.ops import riccati_pallas
+from cilqr_tpu.utils.params import SolverParams
+
+
+def _batched_forward(p: SolverParams, X, U, k, K):
+    """Closed-loop rollout at batch level (iLQR.cpp:68-86).
+
+    X (B,N+1,4), U (B,N,2), k (B,N,2), K (B,N,2,4)."""
+
+    def step(x, inp):
+        X_i, U_i, k_i, K_i = inp  # (B,4), (B,2), (B,2), (B,2,4)
+        u = U_i + k_i + jnp.einsum("bij,bj->bi", K_i, x - X_i)
+        xn = dynamics.step(p, x, u)
+        return xn, (xn, u)
+
+    swap = lambda a: jnp.swapaxes(a, 0, 1)
+    _, (Xs, U_new) = jax.lax.scan(
+        step, X[:, 0], (swap(X[:, :-1]), swap(U), swap(k), swap(K)),
+        unroll=p.scan_unroll,
+    )
+    X_new = jnp.concatenate([X[:, :1], swap(Xs)], axis=1)
+    return X_new, swap(U_new)
+
+
+def batched_optimize(
+    p: SolverParams,
+    plans,
+    x0s: jax.Array,
+    U_init: jax.Array,
+    obstacles=None,
+    unc_map=None,
+):
+    """LM loop over a (B, ...) scenario batch with the fused backward kernel.
+
+    plans: vmapped LocalPlan pytree (leading axis B).
+    Returns (X (B,N+1,4), U (B,N,2), iters (B,), J (B,), lamb (B,))."""
+    B = x0s.shape[0]
+    dtype = x0s.dtype
+    X0 = jax.vmap(lambda e, u: dynamics.rollout(p, e, u))(x0s, U_init)
+    big = jnp.full((B,), jnp.finfo(dtype).max, dtype)
+
+    derivs_J = jax.vmap(
+        lambda pl_, Xi, Ui: costs_mod.all_cost_derivs_and_J(
+            p, pl_, Xi, Ui, obstacles, unc_map
+        )
+    )
+
+    def cond(carry):
+        X, U, J_old, lamb, it, done = carry
+        return jnp.any(jnp.logical_and(~done, it < p.max_iterations))
+
+    def body(carry):
+        X, U, J_old, lamb, it, done = carry
+        d, J_new = derivs_J(plans, X, U)
+        X_new, U_new = riccati_pallas.backward_forward_batched(p, d, X, U, lamb)
+
+        accept = J_new < J_old
+        X_n = jnp.where(accept[:, None, None], X_new, X)
+        U_n = jnp.where(accept[:, None, None], U_new, U)
+        lamb_n = jnp.where(accept, lamb / p.lamb_factor, lamb * p.lamb_factor)
+        stop = jnp.where(
+            accept, jnp.abs(J_new - J_old) < p.tolerance, lamb_n > p.lamb_max
+        )
+        X_o = jnp.where(done[:, None, None], X, X_n)
+        U_o = jnp.where(done[:, None, None], U, U_n)
+        J_o = jnp.where(done, J_old, J_new)
+        lamb_o = jnp.where(done, lamb, lamb_n)
+        it_o = jnp.where(done, it, it + 1)
+        return (X_o, U_o, J_o, lamb_o, it_o, done | stop)
+
+    carry0 = (
+        X0,
+        U_init,
+        big,
+        jnp.full((B,), p.lamb_init, dtype),
+        jnp.zeros((B,), jnp.int32),
+        jnp.zeros((B,), bool),
+    )
+    X, U, J, lamb, it, _ = jax.lax.while_loop(cond, body, carry0)
+    return X, U, it, J, lamb
+
+
+def run_steps_batched(
+    p: SolverParams,
+    plan_xy: jax.Array,
+    plan_n: jax.Array,
+    egos: jax.Array,
+    U_warm: jax.Array,
+    obstacles=None,
+    unc_map=None,
+) -> solver.SolveResult:
+    """Batched ``run_step`` (iLQR.cpp:247-255) on the fused fast path."""
+    plans = jax.vmap(lambda e: get_local_plan(p, plan_xy, plan_n, e))(egos)
+    X, U, it, J, lamb = batched_optimize(p, plans, egos, U_warm, obstacles, unc_map)
+    return solver.SolveResult(X, U, plans.x_wpts, plans.y_fit, it, J, lamb)
+
+
+@partial(jax.jit, static_argnums=0)
+def run_steps_batched_jit(p, plan_xy, plan_n, egos, U_warm, obstacles=None, unc_map=None):
+    return run_steps_batched(p, plan_xy, plan_n, egos, U_warm, obstacles, unc_map)

@@ -76,9 +76,14 @@ def solve_and_reduce(p: SolverParams, plan_xy, plan_n, egos, U_warm,
     return res, _metrics_local(p, res, axis)
 
 
-def make_sharded_solver(p: SolverParams, mesh: Mesh, obstacles=None, unc_map=None):
+def make_sharded_solver(p: SolverParams, mesh: Mesh, obstacles=None, unc_map=None,
+                        fused: bool = False):
     """Build a jitted multi-chip solver: scenario axis sharded over the mesh,
     everything else replicated, metrics reduced with ICI collectives.
+
+    ``fused=True`` routes each shard through the Pallas fast path
+    (``models.solver_batched`` — per-shard batch must be a multiple of 1024);
+    default uses the reference vmap path.
 
     Returns ``fn(plan_xy, plan_n, egos, U_warm) -> (SolveResult, BatchMetrics)``
     with ``egos/U_warm`` sharded on their leading axis and the result
@@ -96,9 +101,17 @@ def make_sharded_solver(p: SolverParams, mesh: Mesh, obstacles=None, unc_map=Non
         check_vma=False,
     )
     def shard_fn(plan_xy, plan_n, egos, U_warm):
-        res, metrics = solve_and_reduce(
-            p, plan_xy, plan_n, egos, U_warm, obstacles, unc_map, axis=BATCH_AXIS
-        )
+        if fused:
+            from cilqr_tpu.models import solver_batched
+
+            res = solver_batched.run_steps_batched(
+                p, plan_xy, plan_n, egos, U_warm, obstacles, unc_map
+            )
+            metrics = _metrics_local(p, res, BATCH_AXIS)
+        else:
+            res, metrics = solve_and_reduce(
+                p, plan_xy, plan_n, egos, U_warm, obstacles, unc_map, axis=BATCH_AXIS
+            )
         return res, metrics
 
     def fn(plan_xy, plan_n, egos, U_warm):

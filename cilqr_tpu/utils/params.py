@@ -95,6 +95,10 @@ class SolverParams:
     max_global_plan_points: int = 512   # padded global-plan length
     max_obstacles: int = 8              # padded obstacle count
     closest_point_samples_per_wpt: int = 10  # Constraints.cpp:28 densification
+    # lax.scan unroll factor for the Riccati/rollout scans (measured neutral
+    # on v5e at B=1024 — kept for experimentation; the real fast path is the
+    # fused Pallas backward kernel in ops/riccati_pallas.py)
+    scan_unroll: int = 1
 
     @property
     def n_closest_samples(self) -> int:

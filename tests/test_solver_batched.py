@@ -1,0 +1,41 @@
+"""Fused batched solver path vs the reference vmap path (interpret kernel)."""
+
+import dataclasses
+from unittest import mock
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cilqr_tpu.models import obstacles as obs_mod, reference_path as rp, solver, solver_batched
+from cilqr_tpu.ops import riccati_pallas
+
+
+def test_batched_solver_matches_vmap_path(params, global_plan):
+    p = dataclasses.replace(params, horizon=10, max_iterations=6)
+    B = riccati_pallas.TILE
+    plan, n = rp.pad_global_plan(p, global_plan, dtype=jnp.float32)
+    rng = np.random.default_rng(61)
+    egos = jnp.asarray(
+        np.array([100.0, -305.6, 4.0, 0.05])[None, :] + rng.normal(0, 0.4, (B, 4)),
+        jnp.float32,
+    )
+    U0 = jnp.broadcast_to(solver.initial_controls(p, dtype=jnp.float32), (B, p.horizon, 2))
+    ob = obs_mod.make_static_obstacles(p, [[112.0, -305.5]], [[3.63, 1.84]], [0.0], dtype=jnp.float32)
+
+    # interpret-mode kernel (CPU test env)
+    orig = riccati_pallas.backward_forward_batched
+    with mock.patch.object(
+        riccati_pallas,
+        "backward_forward_batched",
+        lambda pp, d, X, U, lamb, interpret=False: orig(pp, d, X, U, lamb, True),
+    ):
+        got = solver_batched.run_steps_batched(p, plan, n, egos, U0, obstacles=ob)
+
+    S = 64  # compare a slice against the exact vmap path (full B is slow on CPU)
+    want = jax.vmap(lambda e, u: solver.run_step(p, plan, n, e, u, ob))(egos[:S], U0[:S])
+
+    np.testing.assert_array_equal(np.asarray(got.iterations[:S]), np.asarray(want.iterations))
+    np.testing.assert_allclose(np.asarray(got.U[:S]), np.asarray(want.U), rtol=2e-3, atol=2e-3)
+    np.testing.assert_allclose(np.asarray(got.X[:S]), np.asarray(want.X), rtol=2e-3, atol=2e-2)
+    np.testing.assert_allclose(np.asarray(got.J[:S]), np.asarray(want.J), rtol=1e-4)
