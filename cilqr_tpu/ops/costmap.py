@@ -154,6 +154,30 @@ def rasterize_obstacles(
     return 100.0 * jnp.max(masks, axis=0).astype(dtype)
 
 
+def rasterize_tracked_bbox(
+    geom: gridmap.GridGeom,
+    rows: int,
+    cols: int,
+    box: jax.Array,
+    valid: jax.Array,
+) -> jax.Array:
+    """``semantic_lidar_map`` layer: fill the KF-smoothed perception box.
+
+    Mirrors the SubmapIterator fill of ``bboxCallback``
+    (local_costmap.cpp:358-371): ``box`` is the tracker's [cx, cy, w, h] in
+    cell units of the 100-cell-offset camera convention; the start index is
+    (150 - cy - h/2, 50 + cx - w/2) and the extent (h, w).  Invalid
+    measurements clear the layer (local_costmap.cpp:331-336).
+    """
+    cx, cy, w, h = box[0], box[1], box[2], box[3]
+    start = jnp.stack(
+        [150.0 - cy - 0.5 * h, 50.0 + cx - 0.5 * w]
+    ).astype(jnp.int32)
+    size = jnp.stack([h, w]).astype(jnp.int32)
+    m = gridmap.submap_mask(rows, cols, start, size, dtype=geom.center.dtype)
+    return jnp.where(valid, 100.0 * m, jnp.zeros_like(m))
+
+
 def sample_prior(
     geom: gridmap.GridGeom,
     rows: int,

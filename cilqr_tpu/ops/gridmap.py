@@ -136,6 +136,41 @@ def rasterize_polygon(geom: GridGeom, rows: int, cols: int, vertices: jax.Array)
     return inside.astype(geom.center.dtype)
 
 
+def submap_mask(rows: int, cols: int, start: jax.Array, size: jax.Array, dtype=jnp.float32) -> jax.Array:
+    """(rows, cols) mask of the rectangular submap [start, start+size) —
+    the vectorized ``SubmapIterator`` (grid_map SubmapIterator.cpp), used by
+    the tracked-bbox rasterization (local_costmap.cpp:358-371)."""
+    i = jnp.arange(rows)[:, None]
+    j = jnp.arange(cols)[None, :]
+    m = (i >= start[0]) & (i < start[0] + size[0]) & (j >= start[1]) & (j < start[1] + size[1])
+    return m.astype(dtype)
+
+
+def confidence_ellipse(cov: jax.Array, chisquare_val: float = 2.4477):
+    """2x2 covariance -> (half_major, half_minor, angle), batched.
+
+    Closed-form equivalent of ``getConfidenceEllipse``
+    (local_costmap.cpp:410-454): half axes chi*sqrt(eigenvalue), angle of the
+    major eigenvector wrapped to [0, 2pi).
+    """
+    a = cov[..., 0, 0]
+    b = cov[..., 0, 1]
+    c = cov[..., 1, 1]
+    half_tr = 0.5 * (a + c)
+    half_df = 0.5 * (a - c)
+    disc = jnp.sqrt(half_df * half_df + b * b)
+    w_hi = half_tr + disc
+    w_lo = half_tr - disc
+    safe = jnp.abs(b) > 1e-30
+    vx = jnp.where(safe, b, jnp.where(a >= c, 1.0, 0.0))
+    vy = jnp.where(safe, w_hi - a, jnp.where(a >= c, 0.0, 1.0))
+    angle = jnp.arctan2(vy, vx)
+    angle = jnp.where(angle < 0, angle + 2 * jnp.pi, angle)
+    half_major = chisquare_val * jnp.sqrt(jnp.maximum(w_hi, 0.0))
+    half_minor = chisquare_val * jnp.sqrt(jnp.maximum(w_lo, 0.0))
+    return half_major, half_minor, angle
+
+
 def ellipse_mask(
     geom: GridGeom,
     rows: int,

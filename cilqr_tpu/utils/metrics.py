@@ -134,3 +134,28 @@ def export_jsonl(rows, path: str) -> None:
     with open(path, "w") as f:
         for r in rows:
             f.write(json.dumps(r) + "\n")
+
+
+def compare_algorithms(runs_by_algorithm: Dict[str, jax.Array], obs_xy,
+                       dt: float = 0.1, obs_mask=None):
+    """Multi-algorithm comparison table — the CCNMPC/CILQR/CILQR_Base/
+    Frenet/NRB-RRT sweep of ``batch_dataprocess.py:459-475`` (10 bags per
+    algorithm -> one summary sheet each).
+
+    Args:
+      runs_by_algorithm: name -> (R, T, 4) stacked per-run start positions.
+    Returns:
+      list of flat rows (one per run) + per-algorithm aggregate rows, ready
+      for ``export_csv``.
+    """
+    rows = []
+    for name, batch in runs_by_algorithm.items():
+        per_run = analyze_batch(jnp.asarray(batch), obs_xy, dt, obs_mask=obs_mask)
+        R = batch.shape[0]
+        for r in range(R):
+            one = jax.tree.map(lambda a, r=r: a[r], per_run)
+            rows.append(summary_row(f"{name}/{r}", one))
+        agg = jax.tree.map(lambda a: np.mean(np.asarray(a)), per_run)
+        row = summary_row(f"{name}/mean", agg)
+        rows.append(row)
+    return rows
