@@ -56,18 +56,11 @@ def main():
             lambda e, u: pbatch.batched_solve(p, plan, n, e, u, obstacles, unc)
         )
 
-    # warmup / compile
-    out = fn(egos, U0s)
-    jax.block_until_ready(out)
-
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn(egos, U0s)
-    jax.block_until_ready(out)
-    dt = (time.perf_counter() - t0) / iters
-    solves_per_sec = B / dt
-
-    # p99 end-to-end single-solve latency (dispatch + solve, warm cache)
+    # p99 end-to-end single-solve latency (dispatch + solve, warm cache).
+    # Measured BEFORE the throughput phase: a freshly-drained compile queue
+    # otherwise pollutes the tail.  Includes the remote-chip tunnel round
+    # trip (~30 ms floor in this harness); co-located serving sees only the
+    # device time.
     single = jax.jit(
         lambda e, u: solver.run_step(p, plan, n, e, u, obstacles, unc)
     )
@@ -81,6 +74,17 @@ def main():
         jax.block_until_ready(s_out)
         lat.append(time.perf_counter() - t1)
     p99 = float(np.percentile(lat, 99))
+
+    # batched throughput
+    out = fn(egos, U0s)
+    jax.block_until_ready(out)
+
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(egos, U0s)
+    jax.block_until_ready(out)
+    dt = (time.perf_counter() - t0) / iters
+    solves_per_sec = B / dt
 
     mean_iters = float(jnp.mean(out.iterations.astype(jnp.float32)))
     print(

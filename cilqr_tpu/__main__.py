@@ -1,0 +1,142 @@
+"""Command-line experiment runner — the framework's `roslaunch` + `rosbag
+record` + offline-analysis pipeline in one invocation.
+
+Replaces the reference bring-up sequence (SURVEY.md §3.4: CARLA server ->
+carla-ros-bridge -> vehiclepub -> map_server+local_costmap -> ilqr node ->
+rosbag record -> dataprocess.py) with:
+
+    python -m cilqr_tpu run --scenario success1 --cycles 120 \
+        --out /tmp/exp --sigma-x 0.16 --sigma-y 0.16 --sigma-theta 0.017
+
+    python -m cilqr_tpu analyze /tmp/exp/experiment.log --scenario success1
+
+    python -m cilqr_tpu bench           # same as python bench.py
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import pathlib
+import sys
+
+import numpy as np
+
+
+def _cmd_run(args) -> int:
+    import jax.numpy as jnp
+
+    from cilqr_tpu.sim import runner, scenarios
+    from cilqr_tpu.utils import explog, metrics, viz
+    from cilqr_tpu.utils.params import NoiseParams, SolverParams
+
+    p = dataclasses.replace(
+        SolverParams(),
+        horizon=args.horizon,
+        desired_speed=args.desired_speed,
+        w_uncertainty=args.w_uncertainty,
+    )
+    noise = NoiseParams(args.sigma_x, args.sigma_y, args.sigma_theta)
+    sc = scenarios.get_scenario(args.scenario)
+    plan = scenarios.straight_lane_plan()
+    x0 = np.array([args.x0, args.y0, args.v0, args.yaw0])
+
+    out_dir = pathlib.Path(args.out)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    log = explog.ExperimentLog(out_dir / "experiment.log", "w")
+
+    rec = runner.run_experiment(
+        p, noise, plan, x0, args.cycles, scenario=sc, seed=args.seed, log=log
+    )
+    log.close()
+
+    res = metrics.analyze_run(
+        jnp.asarray(rec["start_pos"]),
+        jnp.asarray(sc.obstacles_xyyaw[:, :2]),
+        dt=p.timestep,
+        planning_time=jnp.asarray(rec["planning_time"]),
+    )
+    rows = [metrics.summary_row(args.scenario, res)]
+    metrics.export_csv(rows, str(out_dir / "metrics.csv"))
+    viz.plot_run(rec, sc.obstacles_xyyaw, path=str(out_dir / "run.png"))
+
+    pt = rec["planning_time"]
+    summary = {
+        "scenario": args.scenario,
+        "cycles": int(args.cycles),
+        "collisions": int(rec["collided"].sum()),
+        "final_x": float(rec["start_pos"][-1, 0]),
+        "planning_time_ms": {
+            "p50": round(float(np.percentile(pt, 50)) * 1e3, 2),
+            "p99": round(float(np.percentile(pt, 99)) * 1e3, 2),
+        },
+        "mean_iterations": round(float(rec["iterations"].mean()), 2),
+        "out": str(out_dir),
+    }
+    print(json.dumps(summary, indent=2))
+    return 0
+
+
+def _cmd_analyze(args) -> int:
+    import jax.numpy as jnp
+
+    from cilqr_tpu.sim import scenarios
+    from cilqr_tpu.utils import explog, metrics
+
+    data = explog.read_experiment_log(args.log)
+    if data["start_pos"].shape[0] < 3:
+        print("log has fewer than 3 records", file=sys.stderr)
+        return 1
+    sc = scenarios.get_scenario(args.scenario)
+    res = metrics.analyze_run(
+        jnp.asarray(data["start_pos"]),
+        jnp.asarray(sc.obstacles_xyyaw[:, :2]),
+        planning_time=jnp.asarray(data["planning_time"]),
+    )
+    print(json.dumps(metrics.summary_row(args.log, res), indent=2))
+    return 0
+
+
+def _cmd_bench(args) -> int:
+    import bench
+
+    return bench.main() or 0
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(prog="cilqr_tpu")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    r = sub.add_parser("run", help="closed-loop scenario experiment")
+    r.add_argument("--scenario", default="success1")
+    r.add_argument("--cycles", type=int, default=60)
+    r.add_argument("--horizon", type=int, default=40)
+    r.add_argument("--out", default="/tmp/cilqr_exp")
+    r.add_argument("--seed", type=int, default=0)
+    r.add_argument("--desired-speed", type=float, default=5.0)
+    r.add_argument("--w-uncertainty", type=float, default=1.0)
+    # Experiment.launch:7-12 noise defaults
+    r.add_argument("--sigma-x", type=float, default=0.16)
+    r.add_argument("--sigma-y", type=float, default=0.16)
+    r.add_argument("--sigma-theta", type=float, default=0.017)
+    r.add_argument("--x0", type=float, default=70.0)
+    r.add_argument("--y0", type=float, default=-306.74)
+    r.add_argument("--v0", type=float, default=4.0)
+    r.add_argument("--yaw0", type=float, default=0.0)
+    r.set_defaults(fn=_cmd_run)
+
+    a = sub.add_parser("analyze", help="offline metrics from an experiment log")
+    a.add_argument("log")
+    a.add_argument("--scenario", default="success1")
+    a.set_defaults(fn=_cmd_analyze)
+
+    b = sub.add_parser("bench", help="run the benchmark (one JSON line)")
+    b.set_defaults(fn=_cmd_bench)
+
+    args = ap.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

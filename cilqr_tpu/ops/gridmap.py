@@ -82,24 +82,47 @@ def sample_nearest(data: jax.Array, geom: GridGeom, pos: jax.Array) -> jax.Array
     return data[i, j]
 
 
-def sample_bilinear_with_grad(data: jax.Array, geom: GridGeom, pos: jax.Array):
+def sample_bilinear_with_grad(data: jax.Array, geom: GridGeom, pos: jax.Array,
+                              use_onehot: bool = True):
     """Bilinear interpolation + spatial gradient in map-frame coordinates.
 
     Returns (value (...,), grad (..., 2)) with grad = d value / d pos.
     Border cells clamp (gradient follows the clamped interpolant).
+
+    TPU note: XLA lowers per-query gathers poorly (~8 ms for 200k queries on
+    v5e); the default fetches all four corners with a single one-hot matmul
+    against a 4-column shifted-map matrix — exact (one nonzero per row,
+    f32) and ~6x faster on the MXU.  ``use_onehot=False`` keeps the plain
+    gather (useful for very large maps where the (Q, cells) one-hot would
+    dominate).
     """
+    H, W = data.shape
     ci = continuous_index(geom, pos)  # (..., 2)
-    fi = jnp.clip(ci[..., 0], 0.0, data.shape[0] - 1.0)
-    fj = jnp.clip(ci[..., 1], 0.0, data.shape[1] - 1.0)
-    i0 = jnp.clip(jnp.floor(fi).astype(jnp.int32), 0, data.shape[0] - 2)
-    j0 = jnp.clip(jnp.floor(fj).astype(jnp.int32), 0, data.shape[1] - 2)
+    fi = jnp.clip(ci[..., 0], 0.0, H - 1.0)
+    fj = jnp.clip(ci[..., 1], 0.0, W - 1.0)
+    i0 = jnp.clip(jnp.floor(fi).astype(jnp.int32), 0, H - 2)
+    j0 = jnp.clip(jnp.floor(fj).astype(jnp.int32), 0, W - 2)
     ti = fi - i0
     tj = fj - j0
 
-    v00 = data[i0, j0]
-    v01 = data[i0, j0 + 1]
-    v10 = data[i0 + 1, j0]
-    v11 = data[i0 + 1, j0 + 1]
+    if use_onehot:
+        flat = data.reshape(-1)
+        # corner offsets 0, +1, +W, +W+1 never wrap: i0 <= H-2, j0 <= W-2
+        M4 = jnp.stack(
+            [flat, jnp.roll(flat, -1), jnp.roll(flat, -W), jnp.roll(flat, -W - 1)],
+            axis=-1,
+        )  # (H*W, 4)
+        idx = i0 * W + j0
+        shape = idx.shape
+        oh = jax.nn.one_hot(idx.reshape(-1), H * W, dtype=data.dtype)
+        corners = (oh @ M4).reshape(shape + (4,))
+        v00, v01, v10, v11 = (corners[..., 0], corners[..., 1],
+                              corners[..., 2], corners[..., 3])
+    else:
+        v00 = data[i0, j0]
+        v01 = data[i0, j0 + 1]
+        v10 = data[i0 + 1, j0]
+        v11 = data[i0 + 1, j0 + 1]
 
     v0 = v00 * (1 - tj) + v01 * tj
     v1 = v10 * (1 - tj) + v11 * tj

@@ -78,6 +78,10 @@ def run_experiment(
     state = jnp.asarray(x0, dtype)
     U_warm = solver.initial_controls(p, dtype=dtype)
 
+    # warm the jit cache so recorded planning times reflect the steady state
+    # (the reference node is likewise warm after its first cycle)
+    jax.block_until_ready(solve(state, U_warm))
+
     recs = {k: [] for k in ("start_time", "start_pos", "noisy_pos", "planning_time",
                             "X", "U", "J", "iterations", "collided")}
     t_start = time.time()
