@@ -71,13 +71,48 @@ def polyfit_scaled(x: jax.Array, y: jax.Array, order: int) -> tuple[jax.Array, j
     # Normal equations on the scaled basis are fine (cond(V) ~ 1e1-1e2 for
     # t in [-1, 1]); the y offset is removed first so coefficient magnitudes
     # stay O(path curvature) rather than O(|y|~300 m).  The tiny (order+1)^2
-    # solve batches cleanly under vmap.
+    # SPD solve is an unrolled Cholesky (_chol_solve) — XLA's batched LU on
+    # TPU costs milliseconds at B=4096, the unrolled VPU version is free.
     y_mid = jnp.mean(y)
     G = V.T @ V
     b = V.T @ (y - y_mid)
-    coeffs = jnp.linalg.solve(G, b)
+    coeffs = _chol_solve(G, b)
     coeffs = coeffs.at[0].add(y_mid)
     return coeffs, x_mid, x_scale
+
+
+def _chol_solve(G: jax.Array, b: jax.Array) -> jax.Array:
+    """Solve SPD G x = b by fully-unrolled Cholesky (static small order).
+
+    Pure elementwise ops — batches under vmap as full VPU tiles with no
+    LAPACK-style loop-carried lowering.
+    """
+    m = G.shape[-1]
+    L = [[None] * m for _ in range(m)]
+    for i in range(m):
+        for j in range(i + 1):
+            s = G[..., i, j]
+            for k in range(j):
+                s = s - L[i][k] * L[j][k]
+            if i == j:
+                L[i][j] = jnp.sqrt(jnp.maximum(s, 1e-30))
+            else:
+                L[i][j] = s / L[j][j]
+    # forward substitution L z = b
+    z = [None] * m
+    for i in range(m):
+        s = b[..., i]
+        for k in range(i):
+            s = s - L[i][k] * z[k]
+        z[i] = s / L[i][i]
+    # back substitution L^T x = z
+    x = [None] * m
+    for i in reversed(range(m)):
+        s = z[i]
+        for k in range(i + 1, m):
+            s = s - L[k][i] * x[k]
+        x[i] = s / L[i][i]
+    return jnp.stack(x, axis=-1)
 
 
 def polyval_scaled(coeffs: jax.Array, x_mid: jax.Array, x_scale: jax.Array, x: jax.Array) -> jax.Array:
@@ -102,7 +137,9 @@ def get_local_plan(p: SolverParams, plan_xy: jax.Array, n_valid: jax.Array, ego_
     """
     start = closest_point_index(plan_xy, n_valid, ego_state)
     idx = jnp.minimum(start + jnp.arange(p.num_of_local_wpts), n_valid - 1)
-    w = plan_xy[idx]  # (W, 2)
+    # window fetch as a one-hot dot (cheaper than a 20-row gather on TPU)
+    oh = jax.nn.one_hot(idx, plan_xy.shape[0], dtype=plan_xy.dtype)
+    w = oh @ plan_xy  # (W, 2)
     x_w, y_w = w[:, 0], w[:, 1]
 
     coeffs, x_mid, x_scale = polyfit_scaled(x_w, y_w, p.poly_order)
