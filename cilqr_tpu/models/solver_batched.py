@@ -118,10 +118,25 @@ def run_steps_batched(
     obstacles=None,
     unc_map=None,
 ) -> solver.SolveResult:
-    """Batched ``run_step`` (iLQR.cpp:247-255) on the fused fast path."""
+    """Batched ``run_step`` (iLQR.cpp:247-255) on the fused fast path.
+
+    Any batch size: B is padded up to the next kernel-tile multiple
+    internally (padding lanes replay lane 0 and are sliced off)."""
+    B = egos.shape[0]
+    pad = (-B) % riccati_pallas.TILE
+    if pad:
+        egos = jnp.concatenate(
+            [egos, jnp.broadcast_to(egos[:1], (pad, 4))], axis=0
+        )
+        U_warm = jnp.concatenate(
+            [U_warm, jnp.broadcast_to(U_warm[:1], (pad,) + U_warm.shape[1:])], axis=0
+        )
     plans = jax.vmap(lambda e: get_local_plan(p, plan_xy, plan_n, e))(egos)
     X, U, it, J, lamb = batched_optimize(p, plans, egos, U_warm, obstacles, unc_map)
-    return solver.SolveResult(X, U, plans.x_wpts, plans.y_fit, it, J, lamb)
+    res = solver.SolveResult(X, U, plans.x_wpts, plans.y_fit, it, J, lamb)
+    if pad:
+        res = jax.tree.map(lambda a: a[:B], res)
+    return res
 
 
 @partial(jax.jit, static_argnums=0)

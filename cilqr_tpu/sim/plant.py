@@ -129,3 +129,62 @@ def closed_loop_jit(p, noise, plan_xy, plan_n, x0, key, n_cycles,
                     obs_xyyaw=None, obs_size=None, obs_mask=None):
     return closed_loop(p, noise, plan_xy, plan_n, x0, key, n_cycles,
                        obstacles, unc_map, obs_xyyaw, obs_size, obs_mask)
+
+
+def closed_loop_batched(
+    p: SolverParams,
+    noise: NoiseParams,
+    plan_xy: jax.Array,
+    plan_n: jax.Array,
+    x0s: jax.Array,
+    key: jax.Array,
+    n_cycles: int,
+    obstacles=None,
+    unc_map=None,
+    obs_xyyaw: Optional[jax.Array] = None,
+    obs_size: Optional[jax.Array] = None,
+    obs_mask: Optional[jax.Array] = None,
+):
+    """Monte-Carlo closed loop on the fused fast path: every plan->act cycle
+    solves the whole (B, ...) scenario batch through the Pallas Riccati
+    kernel (B must be a multiple of ``riccati_pallas.TILE``).
+
+    Returns (final states (B, 4), per-cycle record pytree with leading axis
+    (n_cycles, B, ...)).  This is the production serving shape: thousands of
+    vehicles replanning in lockstep on one chip.
+    """
+    from cilqr_tpu.models import solver_batched
+
+    B = x0s.shape[0]
+    dtype = x0s.dtype
+    U0 = jnp.broadcast_to(
+        solver.initial_controls(p, dtype=dtype), (B, p.horizon, 2)
+    )
+    have_obs = obs_xyyaw is not None
+
+    def cycle(carry, key_t):
+        states, U_warm = carry
+        keys = jax.random.split(key_t, B)
+        noisy = jax.vmap(lambda k, s: inject_noise(noise, k, s))(keys, states)
+        res = solver_batched.run_steps_batched(
+            p, plan_xy, plan_n, noisy, U_warm, obstacles, unc_map
+        )
+        if have_obs:
+            hits = jax.vmap(
+                lambda s: check_collisions(p, s, obs_xyyaw, obs_size, obs_mask)
+            )(states)
+        else:
+            hits = jnp.zeros((B,), bool)
+        nxt = dynamics.step(p, states, res.U[:, 0])
+        rec = (states, noisy, res.J, res.iterations, hits)
+        return (nxt, res.U), rec
+
+    keys = jax.random.split(key, n_cycles)
+    (xf, _), (sp, npos, J, iters, hit) = jax.lax.scan(cycle, (x0s, U0), keys)
+    return xf, {
+        "start_pos": sp,
+        "noisy_pos": npos,
+        "J": J,
+        "iterations": iters,
+        "collided": hit,
+    }
