@@ -31,26 +31,6 @@ from cilqr_tpu.ops import riccati_pallas
 from cilqr_tpu.utils.params import SolverParams
 
 
-def _batched_forward(p: SolverParams, X, U, k, K):
-    """Closed-loop rollout at batch level (iLQR.cpp:68-86).
-
-    X (B,N+1,4), U (B,N,2), k (B,N,2), K (B,N,2,4)."""
-
-    def step(x, inp):
-        X_i, U_i, k_i, K_i = inp  # (B,4), (B,2), (B,2), (B,2,4)
-        u = U_i + k_i + jnp.einsum("bij,bj->bi", K_i, x - X_i)
-        xn = dynamics.step(p, x, u)
-        return xn, (xn, u)
-
-    swap = lambda a: jnp.swapaxes(a, 0, 1)
-    _, (Xs, U_new) = jax.lax.scan(
-        step, X[:, 0], (swap(X[:, :-1]), swap(U), swap(k), swap(K)),
-        unroll=p.scan_unroll,
-    )
-    X_new = jnp.concatenate([X[:, :1], swap(Xs)], axis=1)
-    return X_new, swap(U_new)
-
-
 def batched_optimize(
     p: SolverParams,
     plans,

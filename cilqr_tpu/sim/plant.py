@@ -131,6 +131,78 @@ def closed_loop_jit(p, noise, plan_xy, plan_n, x0, key, n_cycles,
                        obstacles, unc_map, obs_xyyaw, obs_size, obs_mask)
 
 
+def closed_loop_full_stack(
+    p: SolverParams,
+    cp,
+    noise: NoiseParams,
+    global_map: jax.Array,
+    global_geom,
+    plan_xy: jax.Array,
+    plan_n: jax.Array,
+    x0: jax.Array,
+    key: jax.Array,
+    n_cycles: int,
+    obstacles=None,
+    obs_xyyaw: Optional[jax.Array] = None,
+    obs_size: Optional[jax.Array] = None,
+    obs_mask: Optional[jax.Array] = None,
+    use_pallas: bool = False,
+):
+    """The complete two-node pipeline in one scan: every cycle rebuilds the
+    local uncertainty costmap from the global prior (the map_engine node,
+    local_costmap.cpp:172-310) and feeds it to the planner (the ilqr node).
+
+    The costmap is built at the *true* ego pose (the costmap node consumes
+    raw odometry) while the solver sees the *noisy* pose (the planner node
+    injects localization noise, ilqr_uncertainty_node.cpp:82-110) — exactly
+    the reference's information flow.
+    """
+    from cilqr_tpu.models import uncertainty as unc_mod
+    from cilqr_tpu.ops import costmap as costmap_mod
+
+    dtype = x0.dtype
+    U0 = solver.initial_controls(p, dtype=dtype)
+    M = obs_xyyaw.shape[0] if obs_xyyaw is not None else 0
+    if M:
+        sizes = jnp.broadcast_to(obs_size, (M, 2)) if obs_size.ndim == 1 else obs_size
+    else:
+        obs_xyyaw = jnp.full((1, 3), 1e6, dtype)
+        sizes = jnp.ones((1, 2), dtype)
+        obs_mask = jnp.zeros((1,), dtype)
+
+    def cycle(carry, key_t):
+        state, U_warm = carry
+        cm = costmap_mod.build_local_costmap(
+            cp, global_map, global_geom, plan_xy, plan_n, state,
+            obs_xyyaw[:, :2], sizes, obs_xyyaw[:, 2], obs_mask,
+            use_pallas=use_pallas,
+        )
+        umap = unc_mod.UncertaintyMap(
+            cm.uncertainty_map, cm.geom, cm.origin_xy, cm.origin_yaw
+        )
+        noisy = inject_noise(noise, key_t, state)
+        res = solver.run_step(p, plan_xy, plan_n, noisy, U_warm, obstacles, umap)
+        if M:
+            hit = check_collisions(p, state, obs_xyyaw, obs_size, obs_mask)
+        else:
+            hit = jnp.asarray(False)
+        nxt = dynamics.step(p, state, res.U[0])
+        rec = (state, noisy, res.J, res.iterations, hit,
+               jnp.max(cm.uncertainty_map))
+        return (nxt, res.U), rec
+
+    keys = jax.random.split(key, n_cycles)
+    (xf, _), (sp, npos, J, iters, hit, umax) = jax.lax.scan(cycle, (x0, U0), keys)
+    return xf, {
+        "start_pos": sp,
+        "noisy_pos": npos,
+        "J": J,
+        "iterations": iters,
+        "collided": hit,
+        "uncertainty_max": umax,
+    }
+
+
 def closed_loop_batched(
     p: SolverParams,
     noise: NoiseParams,

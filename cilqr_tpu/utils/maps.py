@@ -183,6 +183,63 @@ def load_map(yaml_path: str):
     return occupancy_from_image(img, info), info
 
 
+def make_synthetic_town(
+    out_dir: str,
+    name: str = "town",
+    size_m: float = 301.2,
+    resolution: float = 0.2,
+    origin=(-57.46, -356.56),
+    lane_width: float = 10.0,
+    seed: int = 0,
+):
+    """Generate a Town02-style occupancy map (PNG + map_server YAML).
+
+    The reference ships CARLA's Town02 / real-site h301 maps as PNG+YAML
+    assets (``map_engine/maps``; global geometry 301.2 x 301.2 m at 0.2 m
+    centered (93.14, -205.96), local_costmap.cpp:119) — those are CARLA
+    data, so this framework generates a synthetic stand-in with the same
+    geometry: a rectangular road loop with free lanes (254), occupied
+    buildings (0), and a ring road matching the ``long`` scenario legs
+    (y = -306.74 and -105, x in [70, 195] in map coordinates).
+
+    Returns the YAML path; load with ``load_map``.
+    """
+    n = int(round(size_m / resolution))
+    img = np.zeros((n, n), np.uint8)  # occupied by default
+
+    ox, oy = origin
+
+    def to_px(x, y):
+        # image row 0 = top scanline = max y
+        col = (x - ox) / resolution
+        row = n - 1 - (y - oy) / resolution
+        return row, col
+
+    def carve_lane(x0, y0, x1, y1):
+        r0, c0 = to_px(min(x0, x1) - lane_width / 2, max(y0, y1) + lane_width / 2)
+        r1, c1 = to_px(max(x0, x1) + lane_width / 2, min(y0, y1) - lane_width / 2)
+        img[max(0, int(r0)) : min(n, int(r1) + 1),
+            max(0, int(c0)) : min(n, int(c1) + 1)] = 254
+
+    # ring road through the scenario legs (dataprocess.py obstacle tables)
+    carve_lane(60.0, -306.74, 200.0, -306.74)   # south leg ("long"/"compare")
+    carve_lane(60.0, -105.0, 200.0, -105.0)     # north leg
+    carve_lane(60.0, -306.74, 60.0, -105.0)     # west leg
+    carve_lane(191.0, -306.74, 191.0, -105.0)   # east leg (x~190 scenario 2/3)
+
+    out = pathlib.Path(out_dir)
+    out.mkdir(parents=True, exist_ok=True)
+    png = out / f"{name}.png"
+    write_png(str(png), img)
+    yaml = out / f"{name}.yaml"
+    yaml.write_text(
+        f"image: {name}.png\nresolution: {resolution}\n"
+        f"origin: [{ox}, {oy}, 0.0]\nnegate: 0\n"
+        "occupied_thresh: 0.65\nfree_thresh: 0.196\n"
+    )
+    return str(yaml)
+
+
 def to_gridmap_array(occ: np.ndarray, info: MapInfo, unknown_value: float = 0.0):
     """Reorient a map_server occupancy image into (data, center) for
     ``gridmap.make_geom``: grid_map axis 0 = +x (image cols, reversed),
