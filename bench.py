@@ -86,6 +86,26 @@ def main():
     dt = (time.perf_counter() - t0) / iters
     solves_per_sec = B / dt
 
+    extras = {}
+    if os.environ.get("BENCH_CLOSED_LOOP", "0") == "1":
+        from cilqr_tpu.sim import plant
+        from cilqr_tpu.utils.params import NoiseParams
+
+        cl = jax.jit(
+            lambda x0s, k: plant.closed_loop_batched(
+                p, NoiseParams(0.16, 0.16, 0.017), plan, n, x0s, k, 10,
+                obstacles=obstacles, unc_map=unc,
+            )
+        )
+        o = cl(egos, jax.random.key(0))
+        jax.block_until_ready(o)
+        t0 = time.perf_counter()
+        o = cl(egos, jax.random.key(1))
+        jax.block_until_ready(o)
+        extras["closed_loop_cycles_per_sec"] = round(
+            10 * B / (time.perf_counter() - t0), 1
+        )
+
     mean_iters = float(jnp.mean(out.iterations.astype(jnp.float32)))
     print(
         json.dumps(
@@ -101,6 +121,7 @@ def main():
                 "p99_under_budget": p99 < 0.1,
                 "mean_lm_iterations": round(mean_iters, 2),
                 "device": str(jax.devices()[0]),
+                **extras,
             }
         )
     )

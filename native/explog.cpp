@@ -44,6 +44,7 @@ struct Log {
   FILE* f = nullptr;
   std::mutex mu;
   bool writable = false;
+  long cursor = 0;  // byte offset of the sequential reader
 };
 
 struct FileHeader {
@@ -205,6 +206,63 @@ int explog_read(void* handle, int64_t index, double* start_time,
     std::memcpy(U, p, n_controls * sizeof(double));
     return 0;
   }
+}
+
+// Sequential reader: rewind, then read_next until it returns 1 (EOF/corrupt
+// tail) — O(1) per record vs the indexed explog_read's O(n) rescan.
+void explog_rewind(void* handle) {
+  auto* lg = static_cast<Log*>(handle);
+  if (!lg) return;
+  std::lock_guard<std::mutex> lock(lg->mu);
+  lg->cursor = sizeof(FileHeader);
+}
+
+// Returns 0 on success, 1 at end-of-log, negative on usage errors.
+// Buffer sizes must match the record (query via explog_next_sizes first).
+int explog_next_sizes(void* handle, uint32_t* n_states, uint32_t* n_controls) {
+  auto* lg = static_cast<Log*>(handle);
+  if (!lg) return -1;
+  std::lock_guard<std::mutex> lock(lg->mu);
+  std::fseek(lg->f, lg->cursor, SEEK_SET);
+  uint32_t len = 0;
+  if (std::fread(&len, sizeof len, 1, lg->f) != 1) return 1;
+  if (len < sizeof(RecordHeader) || len > (1u << 28)) return 1;
+  RecordHeader rh;
+  if (std::fread(&rh, sizeof rh, 1, lg->f) != 1) return 1;
+  *n_states = rh.n_states;
+  *n_controls = rh.n_controls;
+  return 0;
+}
+
+int explog_read_next(void* handle, double* start_time, double* start_pos,
+                     double* planning_time, double* X, uint32_t n_states,
+                     double* U, uint32_t n_controls) {
+  auto* lg = static_cast<Log*>(handle);
+  if (!lg) return -1;
+  std::lock_guard<std::mutex> lock(lg->mu);
+  std::fseek(lg->f, lg->cursor, SEEK_SET);
+  uint32_t len = 0, crc = 0;
+  if (std::fread(&len, sizeof len, 1, lg->f) != 1) return 1;
+  if (len < sizeof(RecordHeader) || len > (1u << 28)) return 1;
+  std::vector<uint8_t> buf(len);
+  if (std::fread(buf.data(), 1, len, lg->f) != len) return 1;
+  if (std::fread(&crc, sizeof crc, 1, lg->f) != 1) return 1;
+  if (crc32(buf.data(), len) != crc) return 1;
+
+  RecordHeader rh;
+  const uint8_t* pcur = buf.data();
+  std::memcpy(&rh, pcur, sizeof rh);
+  pcur += sizeof rh;
+  if (rh.n_states != n_states || rh.n_controls != n_controls) return -3;
+  *start_time = rh.start_time;
+  *planning_time = rh.planning_time;
+  std::memcpy(start_pos, pcur, 4 * sizeof(double));
+  pcur += 4 * sizeof(double);
+  std::memcpy(X, pcur, n_states * sizeof(double));
+  pcur += n_states * sizeof(double);
+  std::memcpy(U, pcur, n_controls * sizeof(double));
+  lg->cursor = std::ftell(lg->f);
+  return 0;
 }
 
 void explog_close(void* handle) {
