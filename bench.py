@@ -91,9 +91,10 @@ def main():
         from cilqr_tpu.sim import plant
         from cilqr_tpu.utils.params import NoiseParams
 
+        n_cycles = 10
         cl = jax.jit(
             lambda x0s, k: plant.closed_loop_batched(
-                p, NoiseParams(0.16, 0.16, 0.017), plan, n, x0s, k, 10,
+                p, NoiseParams(), plan, n, x0s, k, n_cycles,
                 obstacles=obstacles, unc_map=unc,
             )
         )
@@ -103,7 +104,7 @@ def main():
         o = cl(egos, jax.random.key(1))
         jax.block_until_ready(o)
         extras["closed_loop_cycles_per_sec"] = round(
-            10 * B / (time.perf_counter() - t0), 1
+            n_cycles * B / (time.perf_counter() - t0), 1
         )
 
     mean_iters = float(jnp.mean(out.iterations.astype(jnp.float32)))

@@ -49,14 +49,17 @@ def _load():
         ctypes.c_void_p, ctypes.c_int64,
         dp, dp, dp, dp, ctypes.c_uint32, dp, ctypes.c_uint32,
     ]
-    lib.explog_rewind.argtypes = [ctypes.c_void_p]
-    lib.explog_next_sizes.restype = ctypes.c_int
-    lib.explog_next_sizes.argtypes = [
-        ctypes.c_void_p, ctypes.POINTER(ctypes.c_uint32), ctypes.POINTER(ctypes.c_uint32),
+    lib.explog_data_start.restype = ctypes.c_long
+    lib.explog_data_start.argtypes = []
+    lib.explog_frame_sizes.restype = ctypes.c_int
+    lib.explog_frame_sizes.argtypes = [
+        ctypes.c_void_p, ctypes.c_long,
+        ctypes.POINTER(ctypes.c_uint32), ctypes.POINTER(ctypes.c_uint32),
     ]
-    lib.explog_read_next.restype = ctypes.c_int
-    lib.explog_read_next.argtypes = [
-        ctypes.c_void_p, dp, dp, dp, dp, ctypes.c_uint32, dp, ctypes.c_uint32,
+    lib.explog_read_frame.restype = ctypes.c_int
+    lib.explog_read_frame.argtypes = [
+        ctypes.c_void_p, ctypes.c_long, ctypes.POINTER(ctypes.c_long),
+        dp, dp, dp, dp, ctypes.c_uint32, dp, ctypes.c_uint32,
     ]
     lib.explog_close.argtypes = [ctypes.c_void_p]
     _lib = lib
@@ -128,13 +131,17 @@ class ExperimentLog:
         return Record(st.value, sp, pt.value, X.reshape(-1, 4), U.reshape(n_ctrl, 2))
 
     def __iter__(self) -> Iterator[Record]:
-        """Sequential O(1)-per-record scan (cursor-based; stops at the first
-        torn/corrupt frame like the indexed reader)."""
+        """Sequential O(1)-per-record scan.  The offset cursor is owned by
+        this Python iterator (not the handle), so nested or concurrent
+        iterations over the same log are independent; stops at the first
+        torn/corrupt frame like the indexed reader."""
         self.flush()
-        self._lib.explog_rewind(self._h)
+        off = ctypes.c_long(self._lib.explog_data_start())
         while True:
             ns, nc = ctypes.c_uint32(), ctypes.c_uint32()
-            rc = self._lib.explog_next_sizes(self._h, ctypes.byref(ns), ctypes.byref(nc))
+            rc = self._lib.explog_frame_sizes(
+                self._h, off.value, ctypes.byref(ns), ctypes.byref(nc)
+            )
             if rc != 0:
                 return
             st = ctypes.c_double()
@@ -142,8 +149,9 @@ class ExperimentLog:
             sp = np.empty(4, np.float64)
             X = np.empty(ns.value, np.float64)
             U = np.empty(nc.value, np.float64)
-            rc = self._lib.explog_read_next(
-                self._h, ctypes.byref(st), _as_dp(sp), ctypes.byref(pt),
+            rc = self._lib.explog_read_frame(
+                self._h, off.value, ctypes.byref(off),
+                ctypes.byref(st), _as_dp(sp), ctypes.byref(pt),
                 _as_dp(X), ns.value, _as_dp(U), nc.value,
             )
             if rc != 0:

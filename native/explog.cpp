@@ -8,6 +8,10 @@
 // format).  Exposed through a C ABI consumed by ctypes
 // (cilqr_tpu/utils/explog.py) — no pybind11 in this image.
 //
+// Sequential reads are offset-cursor based with the cursor owned by the
+// *caller* (explog_read_frame takes and returns the offset), so multiple
+// iterators over one handle cannot corrupt each other's position.
+//
 // Build: make -C native   (produces native/libexplog.so)
 
 #include <cstdint>
@@ -44,7 +48,6 @@ struct Log {
   FILE* f = nullptr;
   std::mutex mu;
   bool writable = false;
-  long cursor = 0;  // byte offset of the sequential reader
 };
 
 struct FileHeader {
@@ -52,9 +55,48 @@ struct FileHeader {
   uint32_t version;
 };
 
+// Reads and validates one frame at byte offset `off`.  On success fills
+// `rh`/`payload` (payload excludes the RecordHeader) and sets `next` to the
+// offset just past the frame; returns 0.  Returns 1 on EOF or a torn /
+// corrupt / inconsistent frame (scan stops there).  Caller holds the lock.
+int read_frame_at(FILE* f, long off, RecordHeader* rh,
+                  std::vector<uint8_t>* payload, long* next) {
+  std::fseek(f, off, SEEK_SET);
+  uint32_t len = 0, crc = 0;
+  if (std::fread(&len, sizeof len, 1, f) != 1) return 1;
+  if (len < sizeof(RecordHeader) || len > (1u << 28)) return 1;
+  std::vector<uint8_t> buf(len);
+  if (std::fread(buf.data(), 1, len, f) != len) return 1;
+  if (std::fread(&crc, sizeof crc, 1, f) != 1) return 1;
+  if (crc32(buf.data(), len) != crc) return 1;
+
+  std::memcpy(rh, buf.data(), sizeof *rh);
+  // length-consistency: a CRC-valid frame whose declared array sizes do not
+  // match the payload size is treated as corruption, never over-read
+  const uint64_t want = sizeof(RecordHeader) + 4 * sizeof(double) +
+                        (uint64_t(rh->n_states) + rh->n_controls) * sizeof(double);
+  if (want != len) return 1;
+  payload->assign(buf.begin() + sizeof(RecordHeader), buf.end());
+  if (next) *next = off + long(sizeof len) + long(len) + long(sizeof crc);
+  return 0;
+}
+
+void unpack_payload(const RecordHeader& rh, const std::vector<uint8_t>& payload,
+                    double* start_pos, double* X, double* U) {
+  const uint8_t* p = payload.data();
+  std::memcpy(start_pos, p, 4 * sizeof(double));
+  p += 4 * sizeof(double);
+  std::memcpy(X, p, rh.n_states * sizeof(double));
+  p += rh.n_states * sizeof(double);
+  std::memcpy(U, p, rh.n_controls * sizeof(double));
+}
+
 }  // namespace
 
 extern "C" {
+
+// Byte offset of the first frame (the initial read cursor).
+long explog_data_start(void) { return sizeof(FileHeader); }
 
 // Returns an opaque handle or nullptr. mode: 0 = write (truncate), 1 = read,
 // 2 = append.
@@ -96,10 +138,12 @@ int explog_append(void* handle, double start_time, const double* start_pos,
   auto* lg = static_cast<Log*>(handle);
   if (!lg || !lg->writable) return -1;
   std::lock_guard<std::mutex> lock(lg->mu);
+  // reads may have moved the shared FILE position ("w+b" honors it)
+  std::fseek(lg->f, 0, SEEK_END);
 
   RecordHeader rh{start_time, planning_time, n_states, n_controls};
   std::vector<uint8_t> buf(sizeof rh + 4 * sizeof(double) +
-                           (n_states + n_controls) * sizeof(double));
+                           (size_t(n_states) + n_controls) * sizeof(double));
   uint8_t* p = buf.data();
   std::memcpy(p, &rh, sizeof rh);
   p += sizeof rh;
@@ -129,43 +173,26 @@ int64_t explog_count(void* handle) {
   auto* lg = static_cast<Log*>(handle);
   if (!lg) return -1;
   std::lock_guard<std::mutex> lock(lg->mu);
-  long pos = std::ftell(lg->f);
-  std::fseek(lg->f, sizeof(FileHeader), SEEK_SET);
+  long off = sizeof(FileHeader);
   int64_t count = 0;
-  std::vector<uint8_t> buf;
-  for (;;) {
-    uint32_t len = 0, crc = 0;
-    if (std::fread(&len, sizeof len, 1, lg->f) != 1) break;
-    if (len < sizeof(RecordHeader) || len > (1u << 28)) break;
-    buf.resize(len);
-    if (std::fread(buf.data(), 1, len, lg->f) != len) break;
-    if (std::fread(&crc, sizeof crc, 1, lg->f) != 1) break;
-    if (crc32(buf.data(), len) != crc) break;
-    ++count;
-  }
-  std::fseek(lg->f, pos, SEEK_SET);
+  RecordHeader rh;
+  std::vector<uint8_t> payload;
+  while (read_frame_at(lg->f, off, &rh, &payload, &off) == 0) ++count;
   return count;
 }
 
-// Reads record i sizes into (n_states, n_controls); returns 0 on success.
+// Reads record `index`'s sizes. Returns 0 on success.
 int explog_record_sizes(void* handle, int64_t index, uint32_t* n_states,
                         uint32_t* n_controls) {
   auto* lg = static_cast<Log*>(handle);
   if (!lg) return -1;
   std::lock_guard<std::mutex> lock(lg->mu);
-  std::fseek(lg->f, sizeof(FileHeader), SEEK_SET);
-  std::vector<uint8_t> buf;
+  long off = sizeof(FileHeader);
+  RecordHeader rh;
+  std::vector<uint8_t> payload;
   for (int64_t i = 0;; ++i) {
-    uint32_t len = 0, crc = 0;
-    if (std::fread(&len, sizeof len, 1, lg->f) != 1) return -2;
-    if (len < sizeof(RecordHeader) || len > (1u << 28)) return -2;
-    buf.resize(len);
-    if (std::fread(buf.data(), 1, len, lg->f) != len) return -2;
-    if (std::fread(&crc, sizeof crc, 1, lg->f) != 1) return -2;
-    if (crc32(buf.data(), len) != crc) return -2;
+    if (read_frame_at(lg->f, off, &rh, &payload, &off) != 0) return -2;
     if (i == index) {
-      RecordHeader rh;
-      std::memcpy(&rh, buf.data(), sizeof rh);
       *n_states = rh.n_states;
       *n_controls = rh.n_controls;
       return 0;
@@ -173,95 +200,57 @@ int explog_record_sizes(void* handle, int64_t index, uint32_t* n_states,
   }
 }
 
-// Reads record i into caller-allocated buffers. Returns 0 on success.
+// Reads record `index` into caller-allocated buffers. Returns 0 on success.
 int explog_read(void* handle, int64_t index, double* start_time,
                 double* start_pos, double* planning_time, double* X,
                 uint32_t n_states, double* U, uint32_t n_controls) {
   auto* lg = static_cast<Log*>(handle);
   if (!lg) return -1;
   std::lock_guard<std::mutex> lock(lg->mu);
-  std::fseek(lg->f, sizeof(FileHeader), SEEK_SET);
-  std::vector<uint8_t> buf;
+  long off = sizeof(FileHeader);
+  RecordHeader rh;
+  std::vector<uint8_t> payload;
   for (int64_t i = 0;; ++i) {
-    uint32_t len = 0, crc = 0;
-    if (std::fread(&len, sizeof len, 1, lg->f) != 1) return -2;
-    if (len < sizeof(RecordHeader) || len > (1u << 28)) return -2;
-    buf.resize(len);
-    if (std::fread(buf.data(), 1, len, lg->f) != len) return -2;
-    if (std::fread(&crc, sizeof crc, 1, lg->f) != 1) return -2;
-    if (crc32(buf.data(), len) != crc) return -2;
+    if (read_frame_at(lg->f, off, &rh, &payload, &off) != 0) return -2;
     if (i != index) continue;
-
-    RecordHeader rh;
-    const uint8_t* p = buf.data();
-    std::memcpy(&rh, p, sizeof rh);
-    p += sizeof rh;
     if (rh.n_states != n_states || rh.n_controls != n_controls) return -3;
     *start_time = rh.start_time;
     *planning_time = rh.planning_time;
-    std::memcpy(start_pos, p, 4 * sizeof(double));
-    p += 4 * sizeof(double);
-    std::memcpy(X, p, n_states * sizeof(double));
-    p += n_states * sizeof(double);
-    std::memcpy(U, p, n_controls * sizeof(double));
+    unpack_payload(rh, payload, start_pos, X, U);
     return 0;
   }
 }
 
-// Sequential reader: rewind, then read_next until it returns 1 (EOF/corrupt
-// tail) — O(1) per record vs the indexed explog_read's O(n) rescan.
-void explog_rewind(void* handle) {
-  auto* lg = static_cast<Log*>(handle);
-  if (!lg) return;
-  std::lock_guard<std::mutex> lock(lg->mu);
-  lg->cursor = sizeof(FileHeader);
-}
-
-// Returns 0 on success, 1 at end-of-log, negative on usage errors.
-// Buffer sizes must match the record (query via explog_next_sizes first).
-int explog_next_sizes(void* handle, uint32_t* n_states, uint32_t* n_controls) {
+// Sequential reader with a CALLER-owned offset cursor: start at
+// explog_data_start(), pass the returned next_off back in.  Returns 0 on
+// success, 1 at end-of-log/corrupt tail.
+int explog_frame_sizes(void* handle, long off, uint32_t* n_states,
+                       uint32_t* n_controls) {
   auto* lg = static_cast<Log*>(handle);
   if (!lg) return -1;
   std::lock_guard<std::mutex> lock(lg->mu);
-  std::fseek(lg->f, lg->cursor, SEEK_SET);
-  uint32_t len = 0;
-  if (std::fread(&len, sizeof len, 1, lg->f) != 1) return 1;
-  if (len < sizeof(RecordHeader) || len > (1u << 28)) return 1;
   RecordHeader rh;
-  if (std::fread(&rh, sizeof rh, 1, lg->f) != 1) return 1;
+  std::vector<uint8_t> payload;
+  if (read_frame_at(lg->f, off, &rh, &payload, nullptr) != 0) return 1;
   *n_states = rh.n_states;
   *n_controls = rh.n_controls;
   return 0;
 }
 
-int explog_read_next(void* handle, double* start_time, double* start_pos,
-                     double* planning_time, double* X, uint32_t n_states,
-                     double* U, uint32_t n_controls) {
+int explog_read_frame(void* handle, long off, long* next_off,
+                      double* start_time, double* start_pos,
+                      double* planning_time, double* X, uint32_t n_states,
+                      double* U, uint32_t n_controls) {
   auto* lg = static_cast<Log*>(handle);
   if (!lg) return -1;
   std::lock_guard<std::mutex> lock(lg->mu);
-  std::fseek(lg->f, lg->cursor, SEEK_SET);
-  uint32_t len = 0, crc = 0;
-  if (std::fread(&len, sizeof len, 1, lg->f) != 1) return 1;
-  if (len < sizeof(RecordHeader) || len > (1u << 28)) return 1;
-  std::vector<uint8_t> buf(len);
-  if (std::fread(buf.data(), 1, len, lg->f) != len) return 1;
-  if (std::fread(&crc, sizeof crc, 1, lg->f) != 1) return 1;
-  if (crc32(buf.data(), len) != crc) return 1;
-
   RecordHeader rh;
-  const uint8_t* pcur = buf.data();
-  std::memcpy(&rh, pcur, sizeof rh);
-  pcur += sizeof rh;
+  std::vector<uint8_t> payload;
+  if (read_frame_at(lg->f, off, &rh, &payload, next_off) != 0) return 1;
   if (rh.n_states != n_states || rh.n_controls != n_controls) return -3;
   *start_time = rh.start_time;
   *planning_time = rh.planning_time;
-  std::memcpy(start_pos, pcur, 4 * sizeof(double));
-  pcur += 4 * sizeof(double);
-  std::memcpy(X, pcur, n_states * sizeof(double));
-  pcur += n_states * sizeof(double);
-  std::memcpy(U, pcur, n_controls * sizeof(double));
-  lg->cursor = std::ftell(lg->f);
+  unpack_payload(rh, payload, start_pos, X, U);
   return 0;
 }
 

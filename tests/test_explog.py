@@ -81,6 +81,62 @@ def test_corrupt_crc_detected(tmp_path):
         assert len(log) == 0  # scan stops at first bad frame
 
 
+def test_nested_iteration_independent(tmp_path):
+    """Two simultaneous iterators over one handle must not share position."""
+    path = tmp_path / "exp.log"
+    with explog.ExperimentLog(path, "w") as log:
+        for r in _make_records(4):
+            log.append(**r)
+        outer = []
+        for a in log:
+            inner = sum(1 for _ in log)
+            assert inner == 4
+            outer.append(a)
+        assert len(outer) == 4
+
+
+def test_partial_iterate_then_append(tmp_path):
+    """Appending after a partial read must land at EOF, not overwrite."""
+    path = tmp_path / "exp.log"
+    recs = _make_records(4)
+    with explog.ExperimentLog(path, "w") as log:
+        for r in recs[:3]:
+            log.append(**r)
+        for _ in log:
+            break  # leave the read position mid-file
+        log.append(**recs[3])
+        assert len(log) == 4
+        got = log.read(3)
+        np.testing.assert_allclose(got.X, recs[3]["X"])
+
+
+def test_inconsistent_frame_sizes_rejected(tmp_path):
+    """A CRC-valid frame whose declared sizes disagree with its length must
+    be treated as corruption, never over-read."""
+    import struct
+    import zlib
+
+    path = tmp_path / "exp.log"
+    with explog.ExperimentLog(path, "w") as log:
+        log.append(**_make_records(1)[0])
+    data = bytearray(path.read_bytes())
+    # forge a record declaring huge n_states but with a tiny payload
+    header = struct.pack("<ddII", 0.0, 0.0, 2**20, 0) + b"\x00" * 32
+    # the writer's CRC starts from 0xFFFFFFFF without final xor; replicate
+    def crc(b):
+        c = 0xFFFFFFFF
+        for byte in b:
+            c ^= byte
+            for _ in range(8):
+                c = (c >> 1) ^ (0xEDB88320 & (-(c & 1)))
+        return c
+    frame = struct.pack("<I", len(header)) + header + struct.pack("<I", crc(header))
+    path.write_bytes(bytes(data) + frame)
+    with explog.ExperimentLog(path, "r") as log:
+        assert len(log) == 1           # forged frame ignored
+        assert sum(1 for _ in log) == 1
+
+
 def test_read_experiment_log_helper(tmp_path):
     path = tmp_path / "exp.log"
     with explog.ExperimentLog(path, "w") as log:
