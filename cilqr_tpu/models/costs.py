@@ -72,15 +72,17 @@ def control_cost_derivs(p: SolverParams, X: jax.Array, U: jax.Array):
     return l_u, l_uu
 
 
-def tracking_cost_derivs(p: SolverParams, plan: LocalPlan, X: jax.Array):
+def tracking_cost_derivs(p: SolverParams, plan: LocalPlan, X: jax.Array, cp=None):
     """Quadratic tracking l_x/l_xx (Constraints.cpp:161-175).
 
     Yaw is untracked: the error row 3 is zeroed and state_cost(3,3) is never
-    set (Constraints.cpp:9-13,168).
+    set (Constraints.cpp:9-13,168).  ``cp`` takes precomputed closest points
+    so fused callers share one lookup pass.
     """
     N = X.shape[0]
     dtype = X.dtype
-    cp = find_closest_points(plan, X)  # (N, 2)
+    if cp is None:
+        cp = find_closest_points(plan, X)  # (N, 2)
     err = jnp.stack(
         [
             X[:, 0] - cp[:, 0],
@@ -102,6 +104,7 @@ def state_cost_derivs(
     X: jax.Array,
     obstacles: Optional["obstacles_mod.Obstacles"] = None,
     unc_map: Optional["uncertainty_mod.UncertaintyMap"] = None,
+    cp=None,
 ):
     """Full l_x (N,4), l_xx (N,4,4): tracking + obstacle barriers +
     uncertainty-map barrier (Constraints.cpp:145-227).
@@ -109,7 +112,7 @@ def state_cost_derivs(
     ``X`` must be the first N states of the (N+1)-long trajectory — the
     reference evaluates state costs at columns 0..N-1 (Constraints.cpp:161).
     """
-    l_x, l_xx = tracking_cost_derivs(p, plan, X)
+    l_x, l_xx = tracking_cost_derivs(p, plan, X, cp=cp)
     if obstacles is not None:
         ovx, omx = obstacles_mod.obstacle_cost_derivs(p, obstacles, X)
         l_x = l_x + p.w_obstacle * ovx
@@ -121,7 +124,8 @@ def state_cost_derivs(
     return l_x, l_xx
 
 
-def total_cost_J(p: SolverParams, plan: LocalPlan, X: jax.Array, U: jax.Array) -> jax.Array:
+def total_cost_J(p: SolverParams, plan: LocalPlan, X: jax.Array, U: jax.Array,
+                 cp=None) -> jax.Array:
     """Line-search acceptance cost J (Constraints.cpp:534-561).
 
     Parity quirk preserved: J counts *only* the quadratic tracking and control
@@ -132,7 +136,8 @@ def total_cost_J(p: SolverParams, plan: LocalPlan, X: jax.Array, U: jax.Array) -
     N = U.shape[0]
     dtype = X.dtype
     Xh = X[:N]
-    cp = find_closest_points(plan, Xh)
+    if cp is None:
+        cp = find_closest_points(plan, Xh)
     err = jnp.stack(
         [
             Xh[:, 0] - cp[:, 0],
@@ -179,39 +184,10 @@ def all_cost_derivs_and_J(
     reference recomputes the 200-sample scan twice per LM iteration
     (backward_pass + get_J, iLQR.cpp:213,217)."""
     N = U.shape[0]
-    dtype = X.dtype
     Xh = X[:N]
     cp = find_closest_points(plan, Xh)  # (N, 2) shared
-
-    # tracking derivatives
-    err = jnp.stack(
-        [
-            Xh[:, 0] - cp[:, 0],
-            Xh[:, 1] - cp[:, 1],
-            Xh[:, 2] - p.desired_speed,
-            jnp.zeros((N,), dtype=dtype),
-        ],
-        axis=-1,
-    )
-    Q = jnp.diag(jnp.array([p.w_pos, p.w_pos, p.w_vel, 0.0], dtype=dtype))
-    l_x = 2.0 * (err @ Q)
-    l_xx = jnp.broadcast_to(2.0 * Q, (N, 4, 4))
-    if obstacles is not None:
-        ovx, omx = obstacles_mod.obstacle_cost_derivs(p, obstacles, Xh)
-        l_x = l_x + p.w_obstacle * ovx
-        l_xx = l_xx + p.w_obstacle * omx
-    if unc_map is not None:
-        _, uvx, umx = uncertainty_mod.uncertainty_cost(p, unc_map, Xh)
-        l_x = l_x + p.w_uncertainty * uvx
-        l_xx = l_xx + p.w_uncertainty * umx
-
+    l_x, l_xx = state_cost_derivs(p, plan, Xh, obstacles, unc_map, cp=cp)
     l_u, l_uu = control_cost_derivs(p, X, U)
-    l_ux = jnp.zeros((N, 2, 4), dtype=dtype)
-
-    # acceptance cost J (yaw slot present but weighted 0)
-    qdiag = jnp.array([p.w_pos, p.w_pos, p.w_vel, 0.0], dtype=dtype)
-    rdiag = jnp.array([p.w_acc, p.w_yawrate], dtype=dtype)
-    errJ = err.at[:, 3].set(Xh[:, 3])
-    J = jnp.sum(errJ * errJ * qdiag[None, :]) + jnp.sum(U * U * rdiag[None, :])
-
+    l_ux = jnp.zeros((N, 2, 4), dtype=X.dtype)
+    J = total_cost_J(p, plan, X, U, cp=cp)
     return CostDerivs(l_x, l_xx, l_u, l_uu, l_ux), J

@@ -246,20 +246,23 @@ def cell_sigma_rho(
 
 
 def required_window_radius(
-    cp: CostmapParams, rows: int, cols: int, center=(None, None)
+    cp: CostmapParams, rows: int, cols: int, center=(None, None), sigmas=None
 ) -> int:
     """Smallest half-window (cells) covering the worst-case 95% ellipse.
 
     half_major = chi * sqrt(lambda_max(cov)) <= chi * sqrt(a + c) with
     a + c = sigma_x^2 + sigma_y^2 + sigma_theta^2 * |cell|^2, evaluated at
     the map corner (max lever arm).  ``center`` defaults to the configured
-    (x_position - 5, y_position) map center.
+    (x_position - 5, y_position) map center; ``sigmas`` overrides the
+    configured (sigma_x, sigma_y, sigma_theta) — pass the sampling *upper
+    bound* for Monte-Carlo sweeps.
     """
     cx = center[0] if center[0] is not None else cp.x_position - 5.0
     cy = center[1] if center[1] is not None else cp.y_position
+    s_x, s_y, s_t = sigmas if sigmas is not None else (cp.sigma_x, cp.sigma_y, cp.sigma_theta)
     res = cp.resolution
     corner = math.hypot(rows * res / 2 + abs(cx), cols * res / 2 + abs(cy))
-    a_plus_c = cp.sigma_x**2 + cp.sigma_y**2 + cp.sigma_theta**2 * corner**2
+    a_plus_c = s_x**2 + s_y**2 + s_t**2 * corner**2
     half_major = cp.chisquare_val * math.sqrt(a_plus_c)
     return max(1, math.ceil(half_major / res))
 
@@ -298,7 +301,8 @@ def propagate_uncertainty_reference(
 
     one_m_rho2 = 1.0 - rho * rho
     inv_det2 = 1.0 / (2.0 * one_m_rho2)
-    norm = 1.0 / (jnp.sqrt(one_m_rho2) * (2.0 * jnp.pi * sx * sy))
+    # the Gaussian normalizer 1/(sqrt(1-rho^2) 2 pi sx sy) depends only on
+    # the output cell and cancels exactly in num/den — omitted
     chi2 = cp.chisquare_val**2
 
     res = cp.resolution
@@ -323,7 +327,7 @@ def propagate_uncertainty_reference(
         q = zx * zx - 2.0 * rho * zx * zy + zy * zy
         # inside-ellipse test: d^T cov^-1 d = q / (1 - rho^2) <= chi^2
         inside = q <= chi2 * one_m_rho2
-        f = norm * jnp.exp(-q * inv_det2)
+        f = jnp.exp(-q * inv_det2)
         w = jnp.where(inside & (v_j > 0), f, 0.0)
         return (num + w * p_j, den + w)
 

@@ -174,20 +174,15 @@ def confidence_ellipse(cov: jax.Array, chisquare_val: float = 2.4477):
 
     Closed-form equivalent of ``getConfidenceEllipse``
     (local_costmap.cpp:410-454): half axes chi*sqrt(eigenvalue), angle of the
-    major eigenvector wrapped to [0, 2pi).
+    major eigenvector wrapped to [0, 2pi).  Eigendecomposition delegated to
+    ``ops.eig2x2.eigh2x2`` (one implementation of the delicate closed form).
     """
-    a = cov[..., 0, 0]
-    b = cov[..., 0, 1]
-    c = cov[..., 1, 1]
-    half_tr = 0.5 * (a + c)
-    half_df = 0.5 * (a - c)
-    disc = jnp.sqrt(half_df * half_df + b * b)
-    w_hi = half_tr + disc
-    w_lo = half_tr - disc
-    safe = jnp.abs(b) > 1e-30
-    vx = jnp.where(safe, b, jnp.where(a >= c, 1.0, 0.0))
-    vy = jnp.where(safe, w_hi - a, jnp.where(a >= c, 0.0, 1.0))
-    angle = jnp.arctan2(vy, vx)
+    from cilqr_tpu.ops.eig2x2 import eigh2x2
+
+    w, V = eigh2x2(cov)
+    w_lo, w_hi = w[..., 0], w[..., 1]
+    v_hi = V[..., :, 1]  # major eigenvector (column for the larger value)
+    angle = jnp.arctan2(v_hi[..., 1], v_hi[..., 0])
     angle = jnp.where(angle < 0, angle + 2 * jnp.pi, angle)
     half_major = chisquare_val * jnp.sqrt(jnp.maximum(w_hi, 0.0))
     half_minor = chisquare_val * jnp.sqrt(jnp.maximum(w_lo, 0.0))

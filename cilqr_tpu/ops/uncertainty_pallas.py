@@ -42,7 +42,7 @@ def _kernel(R: int, res: float, chi2: float, rows: int, cols: int,
 
     one_m_rho2 = 1.0 - rho * rho
     inv_det2 = 1.0 / (2.0 * one_m_rho2)
-    norm = 1.0 / (jnp.sqrt(one_m_rho2) * (2.0 * jnp.pi * sx * sy))
+    # Gaussian normalizer omitted: per-output-cell constant, cancels in num/den
     thresh = chi2 * one_m_rho2
 
     # neighbor-in-map masks come from global cell ids
@@ -72,7 +72,7 @@ def _kernel(R: int, res: float, chi2: float, rows: int, cols: int,
             in_map = col_ok & (row_id + (di - R) >= 0) & (row_id + (di - R) < rows)
             zx = dx * inv_sx
             q = zx * zx - 2.0 * rho * zx * zy + zy * zy
-            f = norm * jnp.exp(-q * inv_det2)
+            f = jnp.exp(-q * inv_det2)
             w = jnp.where((q <= thresh) & in_map, f, 0.0)
             return (num + w * p_j, den + w)
 

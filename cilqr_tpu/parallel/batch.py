@@ -33,7 +33,10 @@ class BatchMetrics(NamedTuple):
     mean_J: jax.Array
     max_J: jax.Array
     mean_iterations: jax.Array
-    converged_frac: jax.Array  # |dJ| < tol before hitting max_iterations
+    # stopped early on |dJ| < tol (excludes lambda-abort lanes; a lane whose
+    # tolerance stop lands exactly on the max_iterations-th iteration is
+    # indistinguishable from exhaustion and counts as unconverged)
+    converged_frac: jax.Array
 
 
 def make_mesh(devices=None) -> Mesh:
@@ -55,7 +58,11 @@ def batched_solve(p: SolverParams, plan_xy, plan_n, egos, U_warm, obstacles=None
 
 def _metrics_local(p: SolverParams, res: solver.SolveResult, axis: Optional[str]) -> BatchMetrics:
     B = res.J.shape[0]
-    conv = (res.iterations < p.max_iterations).astype(res.J.dtype)
+    # early stop + lambda still in range <=> tolerance convergence; a
+    # lambda-abort lane (iLQR.cpp:233-236) ends with lamb > lamb_max
+    conv = (
+        (res.iterations < p.max_iterations) & (res.lamb <= p.lamb_max)
+    ).astype(res.J.dtype)
     sums = jnp.stack([
         jnp.sum(res.J),
         jnp.sum(res.iterations.astype(res.J.dtype)),

@@ -39,12 +39,32 @@ class MCSample(NamedTuple):
     egos: jax.Array       # (B, 4) noisy initial states
 
 
+DEFAULT_SIGMA_LO = (0.02, 0.02, 0.005)
+DEFAULT_SIGMA_HI = (0.25, 0.25, 0.05)
+
+
+def ensure_window_covers(cp: CostmapParams, rows: int, cols: int, center,
+                         sigma_hi=DEFAULT_SIGMA_HI) -> CostmapParams:
+    """Return ``cp`` with ``window_radius`` enlarged (if needed) to cover the
+    95% ellipse of the *largest* sampled covariance — sampled sigmas beyond
+    the configured window would silently truncate the footprint and break
+    the EllipseIterator-exact semantics."""
+    import dataclasses
+
+    need = costmap_mod.required_window_radius(
+        cp, rows, cols, center=(float(center[0]), float(center[1])), sigmas=sigma_hi
+    )
+    if need > cp.window_radius:
+        return dataclasses.replace(cp, window_radius=need)
+    return cp
+
+
 def sample_scenarios(
     key: jax.Array,
     n: int,
     base_ego,
-    sigma_lo=(0.02, 0.02, 0.005),
-    sigma_hi=(0.25, 0.25, 0.05),
+    sigma_lo=DEFAULT_SIGMA_LO,
+    sigma_hi=DEFAULT_SIGMA_HI,
     dtype=jnp.float32,
 ) -> MCSample:
     """Draw per-scenario covariances (uniform in range) and ego noise
@@ -98,8 +118,23 @@ def monte_carlo(
     plan_n,
     samples: MCSample,
     obstacles=None,
+    sigma_hi=DEFAULT_SIGMA_HI,
 ):
-    """vmapped config-3 batch on one chip."""
+    """vmapped config-3 batch on one chip.
+
+    ``sigma_hi`` must bound the sampled sigmas: the propagation window is
+    auto-enlarged to cover its 95% ellipse (see ensure_window_covers).
+    Under jit the map center is traced and the check must happen at build
+    time instead — pre-size ``cp`` via ``ensure_window_covers`` (as
+    ``make_sharded_monte_carlo`` does)."""
+    try:
+        cp = ensure_window_covers(
+            cp, prior.shape[0], prior.shape[1],
+            (float(geom.center[0]), float(geom.center[1])), sigma_hi,
+        )
+    except (TypeError, jax.errors.TracerArrayConversionError,
+            jax.errors.ConcretizationTypeError):
+        pass  # traced center: caller pre-sized cp
     U0 = solver.initial_controls(p, dtype=samples.egos.dtype)
     fn = lambda s, e: mc_solve_one(
         p, cp, prior, geom, origin_xy, origin_yaw, plan_xy, plan_n, s, e, U0, obstacles
@@ -112,13 +147,23 @@ def make_sharded_monte_carlo(
     cp: CostmapParams,
     mesh: Mesh,
     obstacles=None,
+    map_shape=None,
+    map_center=None,
+    sigma_hi=DEFAULT_SIGMA_HI,
 ):
     """Config-5 builder: scenario-sharded Monte-Carlo with per-scenario
     costmap propagation, psum metrics.  Returns (jitted fn, batch sharding).
 
+    Pass ``map_shape=(rows, cols)`` and ``map_center=(x, y)`` so the
+    propagation window is sized for the sampling bound ``sigma_hi`` at build
+    time (inside the jitted shard the center is traced and cannot be
+    checked).
+
     fn(prior, geom, origin_xy, origin_yaw, plan_xy, plan_n, sigmas, egos)
       -> (SolveResult sharded on axis 0, BatchMetrics replicated)
     """
+    if map_shape is not None and map_center is not None:
+        cp = ensure_window_covers(cp, map_shape[0], map_shape[1], map_center, sigma_hi)
     batch_spec = P(BATCH_AXIS)
     repl = P()
 

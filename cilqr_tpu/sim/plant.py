@@ -68,17 +68,19 @@ def inject_noise(noise: NoiseParams, key: jax.Array, state: jax.Array) -> jax.Ar
 
 
 def check_collisions(p: SolverParams, state, obs_xyyaw, obs_size, obs_mask):
-    """Any SAT overlap between the ego footprint and a live obstacle."""
+    """Any SAT overlap between the ego footprint and a live obstacle.
+
+    ``obs_size`` is (2,) shared or (M, 2) per obstacle."""
     ego = (state[0], state[1], state[3], jnp.asarray(p.length, state.dtype),
            jnp.asarray(p.width, state.dtype))
+    M = obs_xyyaw.shape[0]
+    sizes = jnp.broadcast_to(obs_size, (M, 2))
 
-    def one(o, m):
-        hit = collision.is_collision(
-            ego, (o[0], o[1], o[2], obs_size[0], obs_size[1])
-        )
+    def one(o, sz, m):
+        hit = collision.is_collision(ego, (o[0], o[1], o[2], sz[0], sz[1]))
         return jnp.logical_and(hit, m > 0)
 
-    return jnp.any(jax.vmap(one)(obs_xyyaw, obs_mask))
+    return jnp.any(jax.vmap(one)(obs_xyyaw, sizes, obs_mask))
 
 
 def closed_loop(

@@ -43,18 +43,27 @@ def save(path: str, tree: Any) -> None:
 
 
 def restore(path: str, like: Any) -> Any:
-    """Restore into the structure of ``like`` (shapes/dtypes validated)."""
+    """Restore into the structure of ``like``; the saved treedef and every
+    leaf's shape and dtype are validated against ``like``."""
     with np.load(path, allow_pickle=False) as z:
         leaves = [z[f"leaf_{i}"] for i in range(sum(1 for k in z.files if k.startswith("leaf_")))]
+        saved_treedef = bytes(z["__treedef__"]).decode() if "__treedef__" in z.files else None
     like_leaves, treedef = jax.tree_util.tree_flatten(like)
+    if saved_treedef is not None and saved_treedef != str(treedef):
+        raise ValueError(
+            f"checkpoint structure mismatch:\n  saved: {saved_treedef}\n  "
+            f"expected: {treedef}"
+        )
     if len(leaves) != len(like_leaves):
         raise ValueError(
             f"checkpoint has {len(leaves)} leaves, expected {len(like_leaves)}"
         )
-    for got, want in zip(leaves, like_leaves):
+    for i, (got, want) in enumerate(zip(leaves, like_leaves)):
         w = np.asarray(want)
         if got.shape != w.shape:
-            raise ValueError(f"leaf shape mismatch: {got.shape} vs {w.shape}")
+            raise ValueError(f"leaf {i} shape mismatch: {got.shape} vs {w.shape}")
+        if got.dtype != w.dtype:
+            raise ValueError(f"leaf {i} dtype mismatch: {got.dtype} vs {w.dtype}")
     return jax.tree_util.tree_unflatten(treedef, leaves)
 
 

@@ -16,18 +16,37 @@ from typing import Iterator, NamedTuple
 
 import numpy as np
 
-_NATIVE_DIR = pathlib.Path(__file__).resolve().parents[2] / "native"
-_SO = _NATIVE_DIR / "libexplog.so"
 _lib = None
+
+
+def _native_dir() -> pathlib.Path:
+    """Locate the native sources/library: CILQR_TPU_NATIVE_DIR env override,
+    then the repo checkout layout (<repo>/native next to the package)."""
+    import os
+
+    env = os.environ.get("CILQR_TPU_NATIVE_DIR")
+    candidates = [pathlib.Path(env)] if env else []
+    candidates.append(pathlib.Path(__file__).resolve().parents[2] / "native")
+    for c in candidates:
+        if (c / "libexplog.so").exists() or (c / "explog.cpp").exists():
+            return c
+    raise OSError(
+        "cilqr_tpu native sources not found (looked in "
+        + ", ".join(str(c) for c in candidates)
+        + "). Installed without the repo checkout? Set CILQR_TPU_NATIVE_DIR "
+        "to a directory containing native/explog.cpp (shipped in the sdist)."
+    )
 
 
 def _load():
     global _lib
     if _lib is not None:
         return _lib
-    if not _SO.exists():
-        subprocess.run(["make", "-C", str(_NATIVE_DIR)], check=True, capture_output=True)
-    lib = ctypes.CDLL(str(_SO))
+    native = _native_dir()
+    so = native / "libexplog.so"
+    if not so.exists():
+        subprocess.run(["make", "-C", str(native)], check=True, capture_output=True)
+    lib = ctypes.CDLL(str(so))
     lib.explog_open.restype = ctypes.c_void_p
     lib.explog_open.argtypes = [ctypes.c_char_p, ctypes.c_int]
     dp = ctypes.POINTER(ctypes.c_double)

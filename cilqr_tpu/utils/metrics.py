@@ -80,9 +80,30 @@ def analyze_run(
     dt: float = 0.1,
     planning_time: Optional[jax.Array] = None,
     obs_mask: Optional[jax.Array] = None,
+    window=None,                     # ((x0,y0),(x1,y1)) spatial filter
+    planning_time_threshold: float = 0.0,
 ) -> Dict[str, Stats | jax.Array]:
     """``data_analysis`` (dataprocess.py:185-277): planning-time stats,
-    min obstacle distance, mean jerk, curvature stats, velocity stats."""
+    min obstacle distance, mean jerk, curvature stats, velocity stats.
+
+    ``window`` applies the reference's row filter *before* the reductions
+    (``data_process``, dataprocess.py:72-95; windows per scenario in
+    ``sim.scenarios.EVAL_WINDOWS``) — the gradients then run over the
+    filtered sequence exactly as the pandas pipeline does.  Host-side
+    filtering (dynamic shape): don't call with a window under jit; the
+    jittable full-run form is what ``analyze_batch`` vmaps.
+    """
+    if window is not None:
+        m = np.asarray(
+            spatial_window_mask(
+                jnp.asarray(start_pos), window[0], window[1],
+                planning_time=None if planning_time is None else jnp.asarray(planning_time),
+                planning_time_threshold=planning_time_threshold,
+            )
+        )
+        start_pos = jnp.asarray(np.asarray(start_pos)[m])
+        if planning_time is not None:
+            planning_time = jnp.asarray(np.asarray(planning_time)[m])
     xy = start_pos[:, :2]
     dists = min_obstacle_distance(start_pos, obs_xy, obs_mask)
     curv = compute_curvature(xy)

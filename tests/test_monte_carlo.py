@@ -54,7 +54,7 @@ def test_sharded_monte_carlo_matches_vmap(params):
     B = 16
     samples = mc.sample_scenarios(key, B, ego, dtype=jnp.float64)
 
-    fn, sharding = mc.make_sharded_monte_carlo(p, cp, mesh)
+    fn, sharding = mc.make_sharded_monte_carlo(p, cp, mesh, map_shape=(cp.rows, cp.cols), map_center=(10.0, 0.0))
     sig = jax.device_put(samples.sigmas, sharding)
     egos = jax.device_put(samples.egos, sharding)
     res, metrics = fn(prior, geom, jnp.asarray(ego[:2]), jnp.asarray(ego[3]),
