@@ -89,10 +89,12 @@ def _cmd_analyze(args) -> int:
         print("log has fewer than 3 records", file=sys.stderr)
         return 1
     sc = scenarios.get_scenario(args.scenario)
+    window = scenarios.EVAL_WINDOWS[args.window] if args.window else None
     res = metrics.analyze_run(
         jnp.asarray(data["start_pos"]),
         jnp.asarray(sc.obstacles_xyyaw[:, :2]),
         planning_time=jnp.asarray(data["planning_time"]),
+        window=window,
     )
     print(json.dumps(metrics.summary_row(args.log, res), indent=2))
     return 0
@@ -129,6 +131,10 @@ def main(argv=None) -> int:
     a = sub.add_parser("analyze", help="offline metrics from an experiment log")
     a.add_argument("log")
     a.add_argument("--scenario", default="success1")
+    a.add_argument(
+        "--window", type=int, default=None, choices=[1, 2, 3, 4],
+        help="spatial evaluation window (dataprocess.py:311-322)",
+    )
     a.set_defaults(fn=_cmd_analyze)
 
     b = sub.add_parser("bench", help="run the benchmark (one JSON line)")
