@@ -43,6 +43,7 @@ class LocalCostmap(NamedTuple):
     vehicle_map: jax.Array       # (rows, cols) prior + obstacle occupancy
     bounding_box_map: jax.Array  # (rows, cols) rasterized obstacle OBBs
     uncertainty_map: jax.Array   # (rows, cols) propagated occupancy
+    corridor_mask: jax.Array     # (rows, cols) 1 inside the dynamic corridor
     geom: gridmap.GridGeom       # vehicle-frame geometry (center, res, length)
     origin_xy: jax.Array         # (2,) ego global position (map origin)
     origin_yaw: jax.Array        # () ego global yaw
@@ -60,9 +61,10 @@ def corridor_geometry(
     Mirrors ``getVehicleMapScale`` (local_costmap.cpp:712-805): take
     ``look_ahead_waypoints`` waypoints from the nearest one, offset the lane
     center 8 m left / 4 m right along heading - pi/2, transform to the
-    vehicle frame, and bound.  Returns (center (2,), (x_len, y_len)) — the
-    dynamic extent is reported for parity/telemetry but the grid extent
-    stays static (see module docstring).  The -5 m x shift applied when the
+    vehicle frame, and bound.  Returns (center (2,), (x_len, y_len),
+    (x_min, x_max, y_min, y_max)) — the dynamic extent is reported for
+    parity/telemetry and the corridor-mask layer, but the grid extent stays
+    static (see module docstring).  The -5 m x shift applied when the
     reference sets geometry (local_costmap.cpp:213) is included.
     """
     # nearest waypoint (searchTargetIndex, :661-710 — warm start replaced by
@@ -101,7 +103,7 @@ def corridor_geometry(
     x_len = x_max - x_min
     y_len = y_max - y_min
     center = jnp.stack([x_len / 2.0 - 5.0, (y_max + y_min) / 2.0])
-    return center, (x_len, y_len)
+    return center, (x_len, y_len), (x_min, x_max, y_min, y_max)
 
 
 def rasterize_obstacles(
@@ -355,12 +357,20 @@ def build_local_costmap(
     ego_xy = ego_state[:2]
     ego_yaw = ego_state[3]
 
-    center, _ = corridor_geometry(cp, waypoints, n_wpts, ego_xy, ego_yaw)
+    center, _, bounds = corridor_geometry(cp, waypoints, n_wpts, ego_xy, ego_yaw)
     geom = gridmap.GridGeom(
         center.astype(global_map.dtype),
         jnp.asarray(cp.resolution, global_map.dtype),
         jnp.asarray([rows * cp.resolution, cols * cp.resolution], global_map.dtype),
     )
+    # cells inside the reference's *dynamic* corridor bbox (the part of the
+    # static grid the resizing reference map would actually have covered)
+    xs, ys = gridmap.cell_positions(geom, rows, cols)
+    x_min, x_max, y_min, y_max = bounds
+    corridor = (
+        (xs[:, None] >= x_min) & (xs[:, None] <= x_max)
+        & (ys[None, :] >= y_min) & (ys[None, :] <= y_max)
+    ).astype(global_map.dtype)
 
     bbox = rasterize_obstacles(
         cp, geom, rows, cols, obs_xy, obs_size, obs_yaw, obs_mask, ego_xy, ego_yaw
@@ -376,4 +386,4 @@ def build_local_costmap(
     else:
         unc = propagate_uncertainty_reference(cp, vehicle_map, geom, ego_yaw)
 
-    return LocalCostmap(vehicle_map, bbox, unc, geom, ego_xy, ego_yaw)
+    return LocalCostmap(vehicle_map, bbox, unc, corridor, geom, ego_xy, ego_yaw)

@@ -45,6 +45,52 @@ def build_scenario_inputs(p: SolverParams, scenario: scenarios.Scenario, dtype=j
     return ob, obs_xyyaw, obs_size, ob.mask
 
 
+def run_experiment_batch(
+    p: SolverParams,
+    noise: NoiseParams,
+    plan_np: np.ndarray,
+    x0: np.ndarray,
+    n_cycles: int,
+    scenario: scenarios.Scenario,
+    n_runs: int = 10,
+    seed: int = 0,
+    dtype=jnp.float32,
+):
+    """The reference's 10-run experiment batch (batch_dataprocess.py:386-447,
+    471) as ONE device program: ``n_runs`` independently-seeded closed-loop
+    runs of a scenario, vmapped over the seed axis.
+
+    Returns (record dict with leading axis (n_runs, n_cycles, ...),
+    metrics rows ready for ``utils.metrics.export_csv``).
+    """
+    from cilqr_tpu.utils import metrics as metrics_mod
+
+    plan, n = rp.pad_global_plan(p, plan_np, dtype=dtype)
+    ob, obs_xyyaw, obs_size, obs_mask = build_scenario_inputs(p, scenario, dtype)
+    x0j = jnp.asarray(x0, dtype)
+
+    def one(key):
+        return plant.closed_loop(
+            p, noise, plan, n, x0j, key, n_cycles,
+            obstacles=ob, obs_xyyaw=obs_xyyaw, obs_size=obs_size, obs_mask=obs_mask,
+        )
+
+    keys = jax.random.split(jax.random.key(seed), n_runs)
+    xf, rec = jax.jit(jax.vmap(one))(keys)
+
+    obs_xy = jnp.asarray(scenario.obstacles_xyyaw[:, :2], dtype)
+    per_run = metrics_mod.analyze_batch(rec.start_pos, obs_xy, dt=p.timestep)
+    rows = []
+    for r in range(n_runs):
+        row = metrics_mod.summary_row(
+            f"{scenario.name}/{r}", jax.tree.map(lambda a, r=r: a[r], per_run)
+        )
+        row["collisions"] = int(np.asarray(rec.collided[r]).sum())
+        row["mean_iterations"] = float(np.asarray(rec.iterations[r]).mean())
+        rows.append(row)
+    return {"final_states": np.asarray(xf), "record": rec}, rows
+
+
 def run_experiment(
     p: SolverParams,
     noise: NoiseParams,

@@ -145,18 +145,23 @@ def test_build_local_costmap_pipeline(global_plan):
     # bbox cells override the prior in vehicle_map (local_costmap.cpp:260-263)
     bb = np.asarray(out.bounding_box_map) > 90
     np.testing.assert_allclose(np.asarray(out.vehicle_map)[bb], 100.0)
+    # corridor mask is a valid 0/1 layer; the small test grid sits entirely
+    # inside the ~40x12 m corridor bbox so full coverage is expected here
+    cm = np.asarray(out.corridor_mask)
+    assert 0 < cm.sum() <= cm.size and set(np.unique(cm)) <= {0.0, 1.0}
 
 
 def test_corridor_geometry_moves_with_ego(global_plan):
     cp = small_costmap_params()
     wpts = jnp.asarray(global_plan)
     n = jnp.asarray(wpts.shape[0])
-    c1, (xl1, yl1) = costmap.corridor_geometry(
+    c1, (xl1, yl1), bounds = costmap.corridor_geometry(
         cp, wpts, n, jnp.asarray([100.0, -305.6]), jnp.asarray(0.05)
     )
-    c2, _ = costmap.corridor_geometry(
+    c2, _, _ = costmap.corridor_geometry(
         cp, wpts, n, jnp.asarray([130.0, -304.0]), jnp.asarray(0.0)
     )
+    assert float(bounds[1]) > float(bounds[0]) and float(bounds[3]) > float(bounds[2])
     assert np.isfinite(np.asarray(c1)).all() and np.isfinite(np.asarray(c2)).all()
     # corridor spans ~40 waypoints ahead plus 12 m laterally
     assert float(xl1) > 10.0 and float(yl1) >= 12.0
