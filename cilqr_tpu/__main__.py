@@ -79,6 +79,12 @@ def _cmd_run(args) -> int:
 
 
 def _cmd_analyze(args) -> int:
+    # offline host-side analysis (the dataprocess.py stage): stay on CPU —
+    # compiling trivial reductions through the remote TPU helper wastes
+    # minutes
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
 
     from cilqr_tpu.sim import scenarios
@@ -90,12 +96,16 @@ def _cmd_analyze(args) -> int:
         return 1
     sc = scenarios.get_scenario(args.scenario)
     window = scenarios.EVAL_WINDOWS[args.window] if args.window else None
-    res = metrics.analyze_run(
-        jnp.asarray(data["start_pos"]),
-        jnp.asarray(sc.obstacles_xyyaw[:, :2]),
-        planning_time=jnp.asarray(data["planning_time"]),
-        window=window,
-    )
+    try:
+        res = metrics.analyze_run(
+            jnp.asarray(data["start_pos"]),
+            jnp.asarray(sc.obstacles_xyyaw[:, :2]),
+            planning_time=jnp.asarray(data["planning_time"]),
+            window=window,
+        )
+    except ValueError as e:
+        print(f"error: {e}", file=sys.stderr)
+        return 1
     print(json.dumps(metrics.summary_row(args.log, res), indent=2))
     return 0
 

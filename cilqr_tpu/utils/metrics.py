@@ -104,6 +104,13 @@ def analyze_run(
         start_pos = jnp.asarray(np.asarray(start_pos)[m])
         if planning_time is not None:
             planning_time = jnp.asarray(np.asarray(planning_time)[m])
+    if start_pos.shape[0] < 3:
+        # the jerk/curvature gradients need >= 3 rows (the reference prints
+        # the same complaint, dataprocess.py:131-133/158-159)
+        raise ValueError(
+            f"only {start_pos.shape[0]} cycles in the evaluation window — "
+            "need at least 3 for jerk/curvature"
+        )
     xy = start_pos[:, :2]
     dists = min_obstacle_distance(start_pos, obs_xy, obs_mask)
     curv = compute_curvature(xy)
