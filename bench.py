@@ -1,140 +1,11 @@
-"""Benchmark: batched uncertainty-aware CILQR solves/s on one TPU chip.
+"""Benchmark entry point (driver surface) — delegates to cilqr_tpu.benchmark.
 
-Headline metric (BASELINE.json): CILQR solves/s at N=50 horizon with full
-barrier constraints (control bounds, elliptic obstacles, uncertainty-map
-barrier), batched via vmap.  Baseline target: >= 1000 solves/s on a v5e-8;
-``vs_baseline`` reports the ratio of this single-chip number to that full
-8-chip target (>1.0 means one chip beats the whole-pod bar).
-
-Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...extras}
-
-Env knobs: BENCH_BATCH (default 4096), BENCH_ITERS (default 10),
-BENCH_PATH ("fused" (default) = Pallas Riccati fast path, "vmap" =
-reference vmap path).
+Prints ONE JSON line; see cilqr_tpu/benchmark.py for knobs.
 """
 
-from __future__ import annotations
-
-import dataclasses
-import json
-import os
 import sys
-import time
 
-import numpy as np
-
-
-def main():
-    import jax
-    import jax.numpy as jnp
-
-    from __graft_entry__ import _scenario
-    from cilqr_tpu.models import solver
-    from cilqr_tpu.parallel import batch as pbatch
-    from cilqr_tpu.utils.params import SolverParams
-
-    B = int(os.environ.get("BENCH_BATCH", "4096"))
-    iters = int(os.environ.get("BENCH_ITERS", "10"))
-    path = os.environ.get("BENCH_PATH", "fused")
-
-    p = dataclasses.replace(SolverParams(), horizon=50)
-    plan, n, ego, U0, obstacles, unc = _scenario(p, jnp.float32)
-
-    rng = np.random.default_rng(2)
-    egos = jnp.asarray(np.asarray(ego)[None, :] + rng.normal(0, 0.3, (B, 4)), jnp.float32)
-    U0s = jnp.broadcast_to(U0, (B,) + U0.shape)
-
-    if path == "fused":
-        from cilqr_tpu.models import solver_batched
-
-        fn = jax.jit(
-            lambda e, u: solver_batched.run_steps_batched(p, plan, n, e, u, obstacles, unc)
-        )
-    else:
-        fn = jax.jit(
-            lambda e, u: pbatch.batched_solve(p, plan, n, e, u, obstacles, unc)
-        )
-
-    # p99 end-to-end single-solve latency (dispatch + solve, warm cache).
-    # Measured BEFORE the throughput phase: a freshly-drained compile queue
-    # otherwise pollutes the tail.  Includes the remote-chip tunnel round
-    # trip (~30 ms floor in this harness); co-located serving sees only the
-    # device time.
-    single = jax.jit(
-        lambda e, u: solver.run_step(p, plan, n, e, u, obstacles, unc)
-    )
-    for i in range(10):  # warm: compile + settle the tunnel/dispatch path
-        s_out = single(egos[i % B], U0s[0])
-        jax.block_until_ready(s_out)
-    lat = []
-    for i in range(100):
-        t1 = time.perf_counter()
-        s_out = single(egos[i % B], U0s[0])
-        jax.block_until_ready(s_out)
-        lat.append(time.perf_counter() - t1)
-    p99 = float(np.percentile(lat, 99))
-
-    # batched throughput: pipelined dispatch with *varied* inputs per
-    # iteration (the axon terminal dedups identical queued executions, which
-    # silently turns a same-input timing loop into a no-op measurement)
-    ego_batches = [
-        jnp.asarray(
-            np.asarray(ego)[None, :] + rng.normal(0, 0.3, (B, 4)), jnp.float32
-        )
-        for _ in range(iters)
-    ]
-    out = fn(ego_batches[0], U0s)
-    jax.block_until_ready(out)
-
-    t0 = time.perf_counter()
-    outs = [fn(e, U0s) for e in ego_batches]
-    jax.block_until_ready(outs)
-    dt = (time.perf_counter() - t0) / iters
-    solves_per_sec = B / dt
-    out = outs[-1]
-
-    extras = {}
-    if os.environ.get("BENCH_CLOSED_LOOP", "0") == "1":
-        from cilqr_tpu.sim import plant
-        from cilqr_tpu.utils.params import NoiseParams
-
-        n_cycles = 10
-        cl = jax.jit(
-            lambda x0s, k: plant.closed_loop_batched(
-                p, NoiseParams(), plan, n, x0s, k, n_cycles,
-                obstacles=obstacles, unc_map=unc,
-            )
-        )
-        o = cl(ego_batches[0], jax.random.key(0))
-        jax.block_until_ready(o)
-        t0 = time.perf_counter()
-        o = cl(ego_batches[1], jax.random.key(1))
-        jax.block_until_ready(o)
-        extras["closed_loop_cycles_per_sec"] = round(
-            n_cycles * B / (time.perf_counter() - t0), 1
-        )
-
-    mean_iters = float(jnp.mean(out.iterations.astype(jnp.float32)))
-    print(
-        json.dumps(
-            {
-                "metric": "cilqr_solves_per_sec_1chip_N50_full_constraints",
-                "value": round(solves_per_sec, 1),
-                "unit": "solves/s",
-                "vs_baseline": round(solves_per_sec / 1000.0, 3),
-                "path": path,
-                "batch": B,
-                "batched_step_ms": round(dt * 1e3, 3),
-                "p99_single_solve_ms": round(p99 * 1e3, 3),
-                "p99_under_budget": p99 < 0.1,
-                "mean_lm_iterations": round(mean_iters, 2),
-                "device": str(jax.devices()[0]),
-                **extras,
-            }
-        )
-    )
-
+from cilqr_tpu.benchmark import main
 
 if __name__ == "__main__":
     sys.exit(main())

@@ -111,9 +111,9 @@ def _cmd_analyze(args) -> int:
 
 
 def _cmd_bench(args) -> int:
-    import bench
+    from cilqr_tpu.benchmark import main as bench_main
 
-    return bench.main() or 0
+    return bench_main() or 0
 
 
 def main(argv=None) -> int:

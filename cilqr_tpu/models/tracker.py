@@ -55,17 +55,18 @@ def correct(s: KFState, z: jax.Array) -> KFState:
 
 
 def step(s: KFState, z: jax.Array, valid: jax.Array) -> tuple[KFState, jax.Array]:
-    """predict -> (correct if valid else reset) -> smoothed box.
+    """predict+correct if valid, else coast -> smoothed box.
 
-    ``valid`` mirrors the bbox sanity gate: invalid measurements reset the
-    filter (local_costmap.cpp:331-336) instead of corrupting the track.
+    ``valid`` mirrors the bbox sanity gate: on an out-of-range measurement
+    the reference clears the rasterized layer and leaves the filter state
+    untouched (local_costmap.cpp:331-336) — so here the track coasts (no
+    update) and the returned box is zeroed (nothing to rasterize).
     Returns (new_state, (4,) smoothed [cx, cy, w, h]).
     """
-    sp = predict(s)
-    sc = correct(sp, z)
-    s0 = init(dtype=s.x.dtype, x0=jnp.concatenate([z, jnp.zeros(2, s.x.dtype)]))
-    out = jax.tree.map(lambda a, b: jnp.where(valid, a, b), sc, s0)
-    return out, out.x[:4]
+    sc = correct(predict(s), z)
+    out = jax.tree.map(lambda a, b: jnp.where(valid, a, b), sc, s)
+    box = jnp.where(valid, out.x[:4], jnp.zeros(4, s.x.dtype))
+    return out, box
 
 
 def track(zs: jax.Array, valids: jax.Array, dtype=jnp.float32):

@@ -69,10 +69,9 @@ def corridor_geometry(
     """
     # nearest waypoint (searchTargetIndex, :661-710 — warm start replaced by
     # a full masked argmin: same result, no state)
-    P = waypoints.shape[0]
-    d = jnp.sum((waypoints - ego_xy) ** 2, axis=-1)
-    d = jnp.where(jnp.arange(P) < n_valid, d, jnp.inf)
-    start = jnp.argmin(d)
+    from cilqr_tpu.models.reference_path import closest_point_index
+
+    start = closest_point_index(waypoints, n_valid, ego_xy)
 
     idx = jnp.minimum(start + jnp.arange(cp.look_ahead_waypoints), n_valid - 1)
     wp = waypoints[idx]  # (L, 2)
@@ -80,9 +79,17 @@ def corridor_geometry(
     nxt = waypoints[jnp.minimum(idx + 1, n_valid - 1)]
     tangent = nxt - wp
     yaw_w = jnp.arctan2(tangent[:, 1], tangent[:, 0])
-    # degenerate tail (repeated last waypoint): reuse previous heading
+    # degenerate tail (repeated last waypoint): forward-fill the last valid
+    # path heading (the reference stops its loop before the final waypoint
+    # and never evaluates a zero tangent); ego_yaw only as a last resort
+    # when no waypoint has a valid tangent at all
     ok = jnp.sum(tangent * tangent, axis=-1) > 1e-12
-    yaw_w = jnp.where(ok, yaw_w, ego_yaw)
+    L = yaw_w.shape[0]
+    last_valid = jax.lax.cummax(
+        jnp.where(ok, jnp.arange(L), -1)
+    )
+    yaw_filled = yaw_w[jnp.maximum(last_valid, 0)]
+    yaw_w = jnp.where(last_valid >= 0, yaw_filled, ego_yaw)
 
     heading = yaw_w - jnp.pi / 2.0
     heading = jnp.where(heading < 0, heading + 2 * jnp.pi, heading)

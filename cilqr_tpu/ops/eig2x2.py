@@ -28,8 +28,14 @@ def eigh2x2(M: jax.Array):
     w_lo = half_tr - disc
     w_hi = half_tr + disc
 
-    # Eigenvector for w_hi: (b, w_hi - a) unless b ~ 0 (already diagonal).
-    safe = jnp.abs(b) > 1e-30
+    # Eigenvector for w_hi: (b, w_hi - a) unless b is negligible relative to
+    # the diagonal (then the matrix is numerically diagonal).  The threshold
+    # must be *relative*: an absolute ~1e-30 cutoff admits b values whose
+    # squares underflow in f32, collapsing the normalizer to 0 (NaN) or
+    # picking the wrong axis.
+    scale = jnp.abs(a) + jnp.abs(c)
+    eps = jnp.asarray(jnp.finfo(M.dtype).eps, M.dtype)
+    safe = jnp.abs(b) > eps * scale
     vx = jnp.where(safe, b, jnp.where(a >= c, 1.0, 0.0))
     vy = jnp.where(safe, w_hi - a, jnp.where(a >= c, 0.0, 1.0))
     n = jnp.sqrt(vx * vx + vy * vy)

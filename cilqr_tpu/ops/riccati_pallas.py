@@ -127,7 +127,9 @@ def _kernel(N: int, dt: float, refs):
         disc = jnp.sqrt(half_df * half_df + bsym * bsym)
         w_lo = half_tr - disc
         w_hi = half_tr + disc
-        safe = jnp.abs(bsym) > 1e-30
+        # relative degeneracy threshold (see ops/eig2x2.py) — an absolute
+        # cutoff below f32's squaring range NaNs the normalizer
+        safe = jnp.abs(bsym) > 1.1920929e-07 * (jnp.abs(Quu00) + jnp.abs(Quu11))
         a_ge = Quu00 >= Quu11
         vx1 = jnp.where(safe, bsym, jnp.where(a_ge, 1.0, 0.0))
         vy1 = jnp.where(safe, w_hi - Quu00, jnp.where(a_ge, 0.0, 1.0))

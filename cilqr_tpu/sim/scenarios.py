@@ -1,11 +1,12 @@
 """Scripted experiment scenarios — the CARLA spawn tables, CARLA-free.
 
 Obstacle poses come from the reference's two sources, reconciled to the
-planner's map frame (where y = -y_carla, cf. the negated y at
-``dataprocess.py:290-304`` vs the spawn tables at
-``vehiclepub/scripts/main.py:142-171``):
+planner's map frame: y is negated relative to the CARLA spawn tables while
+the yaw values are carried over unchanged (in radians) — exactly the
+``dataprocess.py:290-304`` obstacle table vs the spawns at
+``vehiclepub/scripts/main.py:142-171``:
 
-  * ``long``:      8 obstacles along the Town02 loop (main.py:142-157)
+  * ``long``:      9 obstacles along the Town02 loop (main.py:142-157)
   * ``compare``:   1 obstacle (main.py:158-159)
   * ``success1-3``: 3-obstacle slalom variants (main.py:160-171)
 

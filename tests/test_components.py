@@ -23,13 +23,16 @@ def test_tracker_converges_to_constant_velocity():
     assert err_f < err_z
 
 
-def test_tracker_reset_on_invalid():
+def test_tracker_coasts_on_invalid():
+    """Invalid measurement: state untouched, box cleared — matching the
+    reference's reset-the-layer-not-the-filter gate
+    (local_costmap.cpp:331-336)."""
     s = tracker.init(dtype=jnp.float64, x0=jnp.asarray([1.0, 2, 3, 4, 9, 9]))
     z = jnp.asarray([50.0, 60.0, 3.0, 4.0])
     s2, box = tracker.step(s, z, jnp.asarray(False))
-    np.testing.assert_allclose(np.asarray(box), np.asarray(z))  # hard reset
-    np.testing.assert_allclose(np.asarray(s2.x[4:]), 0.0)
-    np.testing.assert_allclose(np.asarray(s2.P), np.eye(6))
+    np.testing.assert_allclose(np.asarray(box), 0.0)            # cleared layer
+    np.testing.assert_allclose(np.asarray(s2.x), np.asarray(s.x))  # coast
+    np.testing.assert_allclose(np.asarray(s2.P), np.asarray(s.P))
 
 
 def test_tracker_matches_textbook_kf():
