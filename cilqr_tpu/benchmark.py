@@ -10,8 +10,9 @@ Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...extras}
 
 Env knobs: BENCH_BATCH (default 4096), BENCH_ITERS (default 10),
-BENCH_PATH ("fused" (default) = Pallas Riccati fast path, "vmap" =
-reference vmap path).
+BENCH_PATH ("mega" (default) = fully-fused LM-iteration kernel
+(ops/lm_pallas), "fused" = XLA derivatives + Pallas Riccati kernel,
+"vmap" = reference vmap path).
 """
 
 from __future__ import annotations
@@ -36,7 +37,7 @@ def main():
 
     B = int(os.environ.get("BENCH_BATCH", "4096"))
     iters = int(os.environ.get("BENCH_ITERS", "10"))
-    path = os.environ.get("BENCH_PATH", "fused")
+    path = os.environ.get("BENCH_PATH", "mega")
 
     p = dataclasses.replace(SolverParams(), horizon=50)
     plan, n, ego, U0, obstacles, unc = _scenario(p, jnp.float32)
@@ -45,11 +46,14 @@ def main():
     egos = jnp.asarray(np.asarray(ego)[None, :] + rng.normal(0, 0.3, (B, 4)), jnp.float32)
     U0s = jnp.broadcast_to(U0, (B,) + U0.shape)
 
-    if path == "fused":
+    if path in ("mega", "fused"):
         from cilqr_tpu.models import solver_batched
 
+        impl = "mega" if path == "mega" else "two_phase"
         fn = jax.jit(
-            lambda e, u: solver_batched.run_steps_batched(p, plan, n, e, u, obstacles, unc)
+            lambda e, u: solver_batched.run_steps_batched(
+                p, plan, n, e, u, obstacles, unc, impl=impl
+            )
         )
     else:
         fn = jax.jit(
@@ -64,7 +68,7 @@ def main():
     single = jax.jit(
         lambda e, u: solver.run_step(p, plan, n, e, u, obstacles, unc)
     )
-    for i in range(10):  # warm: compile + settle the tunnel/dispatch path
+    for i in range(25):  # warm: compile + settle the tunnel/dispatch path
         s_out = single(egos[i % B], U0s[0])
         jax.block_until_ready(s_out)
     lat = []
@@ -74,6 +78,7 @@ def main():
         jax.block_until_ready(s_out)
         lat.append(time.perf_counter() - t1)
     p99 = float(np.percentile(lat, 99))
+    p50 = float(np.percentile(lat, 50))
 
     # batched throughput: pipelined dispatch with *varied* inputs per
     # iteration (the axon terminal dedups identical queued executions, which
@@ -126,6 +131,7 @@ def main():
                 "path": path,
                 "batch": B,
                 "batched_step_ms": round(dt * 1e3, 3),
+                "p50_single_solve_ms": round(p50 * 1e3, 3),
                 "p99_single_solve_ms": round(p99 * 1e3, 3),
                 "p99_under_budget": p99 < 0.1,
                 "mean_lm_iterations": round(mean_iters, 2),

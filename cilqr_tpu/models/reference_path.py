@@ -73,9 +73,12 @@ def polyfit_scaled(x: jax.Array, y: jax.Array, order: int) -> tuple[jax.Array, j
     # stay O(path curvature) rather than O(|y|~300 m).  The tiny (order+1)^2
     # SPD solve is an unrolled Cholesky (_chol_solve) — XLA's batched LU on
     # TPU costs milliseconds at B=4096, the unrolled VPU version is free.
+    # HIGHEST matmul precision: TPU MXU default truncates f32 operands to
+    # bf16 — a ~0.4% relative error on the Gram matrix that survives into
+    # the fitted reference line.  bf16x3 keeps these small dots exact.
     y_mid = jnp.mean(y)
-    G = V.T @ V
-    b = V.T @ (y - y_mid)
+    G = jnp.matmul(V.T, V, precision=jax.lax.Precision.HIGHEST)
+    b = jnp.matmul(V.T, (y - y_mid), precision=jax.lax.Precision.HIGHEST)
     coeffs = _chol_solve(G, b)
     coeffs = coeffs.at[0].add(y_mid)
     return coeffs, x_mid, x_scale
@@ -137,9 +140,11 @@ def get_local_plan(p: SolverParams, plan_xy: jax.Array, n_valid: jax.Array, ego_
     """
     start = closest_point_index(plan_xy, n_valid, ego_state)
     idx = jnp.minimum(start + jnp.arange(p.num_of_local_wpts), n_valid - 1)
-    # window fetch as a one-hot dot (cheaper than a 20-row gather on TPU)
+    # window fetch as a one-hot dot (cheaper than a 20-row gather on TPU).
+    # HIGHEST precision is required for exactness: the MXU's default bf16
+    # operand truncation rounds ~100 m waypoint coordinates by up to 0.25 m.
     oh = jax.nn.one_hot(idx, plan_xy.shape[0], dtype=plan_xy.dtype)
-    w = oh @ plan_xy  # (W, 2)
+    w = jnp.matmul(oh, plan_xy, precision=jax.lax.Precision.HIGHEST)  # (W, 2)
     x_w, y_w = w[:, 0], w[:, 1]
 
     coeffs, x_mid, x_scale = polyfit_scaled(x_w, y_w, p.poly_order)
@@ -169,11 +174,12 @@ def find_closest_points(plan: LocalPlan, states: jax.Array) -> jax.Array:
     d = dx * dx + dy * dy  # (N, n_samples)
     j = jnp.argmin(d, axis=-1)
     # fetch the winning sample with a one-hot matmul: XLA's per-row gather
-    # is ~5x slower than the MXU dot on TPU, and the dot is exact (one
-    # nonzero per row)
+    # is ~5x slower than the MXU dot on TPU.  HIGHEST precision makes the
+    # dot exact — at the MXU's default bf16 operand truncation the fetched
+    # coordinates round by up to ~0.25 m at CARLA-scale |x| ~ 100 m.
     table = jnp.stack([plan.sample_x, plan.sample_y], axis=-1)  # (S, 2)
     oh = jax.nn.one_hot(j, d.shape[-1], dtype=S.dtype)
-    out = oh @ table
+    out = jnp.matmul(oh, table, precision=jax.lax.Precision.HIGHEST)
     return out[0] if single else out
 
 

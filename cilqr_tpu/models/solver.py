@@ -76,7 +76,16 @@ def backward_pass(
 
 
 def backward_from_derivs(p: SolverParams, d, X: jax.Array, U: jax.Array, lamb: jax.Array):
-    """Backward recursion from precomputed cost derivatives."""
+    """Backward recursion from precomputed cost derivatives.
+
+    Runs under HIGHEST matmul precision: the 4x4/2x4 contractions are tiny,
+    but under vmap they batch onto the MXU whose default bf16 operand
+    truncation costs ~3 significant digits in the gains."""
+    with jax.default_matmul_precision("highest"):
+        return _backward_from_derivs(p, d, X, U, lamb)
+
+
+def _backward_from_derivs(p: SolverParams, d, X: jax.Array, U: jax.Array, lamb: jax.Array):
     N = p.horizon
     # parity quirk: jacobians at successor states (iLQR.cpp:102-106)
     fx, fu = dynamics.jacobians(p, X[1:, 2], X[1:, 3], U[:, 0])
@@ -112,11 +121,16 @@ def backward_from_derivs(p: SolverParams, d, X: jax.Array, U: jax.Array, lamb: j
 
 
 def forward_pass(p: SolverParams, X: jax.Array, U: jax.Array, k: jax.Array, K: jax.Array):
-    """Closed-loop rollout U_new = U + k + K (X_new - X) (iLQR.cpp:68-86)."""
+    """Closed-loop rollout U_new = U + k + K (X_new - X) (iLQR.cpp:68-86).
+
+    HIGHEST matmul precision for the (2,4) gain application — see
+    ``backward_from_derivs``."""
 
     def step(x, inp):
         X_i, U_i, k_i, K_i = inp
-        u = U_i + k_i + K_i @ (x - X_i)
+        u = U_i + k_i + jnp.matmul(
+            K_i, x - X_i, precision=jax.lax.Precision.HIGHEST
+        )
         xn = dynamics.step(p, x, u)
         return xn, (xn, u)
 

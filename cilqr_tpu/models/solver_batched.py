@@ -97,11 +97,18 @@ def run_steps_batched(
     U_warm: jax.Array,
     obstacles=None,
     unc_map=None,
+    impl: str = "mega",
 ) -> solver.SolveResult:
     """Batched ``run_step`` (iLQR.cpp:247-255) on the fused fast path.
 
     Any batch size: B is padded up to the next kernel-tile multiple
-    internally (padding lanes replay lane 0 and are sliced off)."""
+    internally (padding lanes replay lane 0 and are sliced off).
+
+    impl: "mega" (default) runs the fully-fused iteration kernel
+    (``ops.lm_pallas`` — cost derivatives computed on-chip, ~4x the
+    two-phase throughput); "two_phase" keeps the XLA-derivatives +
+    Riccati-kernel pipeline, which is also the fallback for per-scenario
+    (batched) obstacle/uncertainty pytrees."""
     B = egos.shape[0]
     pad = (-B) % riccati_pallas.TILE
     if pad:
@@ -112,13 +119,21 @@ def run_steps_batched(
             [U_warm, jnp.broadcast_to(U_warm[:1], (pad,) + U_warm.shape[1:])], axis=0
         )
     plans = jax.vmap(lambda e: get_local_plan(p, plan_xy, plan_n, e))(egos)
-    X, U, it, J, lamb = batched_optimize(p, plans, egos, U_warm, obstacles, unc_map)
+    if impl == "mega":
+        from cilqr_tpu.ops import lm_pallas
+
+        X, U, it, J, lamb = lm_pallas.fused_optimize(
+            p, plans, egos, U_warm, obstacles, unc_map
+        )
+    else:
+        X, U, it, J, lamb = batched_optimize(p, plans, egos, U_warm, obstacles, unc_map)
     res = solver.SolveResult(X, U, plans.x_wpts, plans.y_fit, it, J, lamb)
     if pad:
         res = jax.tree.map(lambda a: a[:B], res)
     return res
 
 
-@partial(jax.jit, static_argnums=0)
-def run_steps_batched_jit(p, plan_xy, plan_n, egos, U_warm, obstacles=None, unc_map=None):
-    return run_steps_batched(p, plan_xy, plan_n, egos, U_warm, obstacles, unc_map)
+@partial(jax.jit, static_argnums=(0, 7))
+def run_steps_batched_jit(p, plan_xy, plan_n, egos, U_warm, obstacles=None,
+                          unc_map=None, impl="mega"):
+    return run_steps_batched(p, plan_xy, plan_n, egos, U_warm, obstacles, unc_map, impl)

@@ -40,18 +40,22 @@ def init(dtype=jnp.float32, x0=None) -> KFState:
 
 
 def predict(s: KFState) -> KFState:
-    F, _, Q, _ = _matrices(s.x.dtype)
-    return KFState(F @ s.x, F @ s.P @ F.T + Q)
+    # HIGHEST precision: batched 6x6 dots land on the MXU, whose default
+    # bf16 operand truncation degrades the covariance recursion
+    with jax.default_matmul_precision("highest"):
+        F, _, Q, _ = _matrices(s.x.dtype)
+        return KFState(F @ s.x, F @ s.P @ F.T + Q)
 
 
 def correct(s: KFState, z: jax.Array) -> KFState:
-    F, H, Q, R = _matrices(s.x.dtype)
-    y = z - H @ s.x
-    S = H @ s.P @ H.T + R
-    K = jnp.linalg.solve(S.T, (s.P @ H.T).T).T  # P H^T S^-1 without inverse
-    x = s.x + K @ y
-    P = (jnp.eye(6, dtype=s.x.dtype) - K @ H) @ s.P
-    return KFState(x, P)
+    with jax.default_matmul_precision("highest"):
+        F, H, Q, R = _matrices(s.x.dtype)
+        y = z - H @ s.x
+        S = H @ s.P @ H.T + R
+        K = jnp.linalg.solve(S.T, (s.P @ H.T).T).T  # P H^T S^-1 without inverse
+        x = s.x + K @ y
+        P = (jnp.eye(6, dtype=s.x.dtype) - K @ H) @ s.P
+        return KFState(x, P)
 
 
 def step(s: KFState, z: jax.Array, valid: jax.Array) -> tuple[KFState, jax.Array]:

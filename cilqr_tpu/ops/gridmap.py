@@ -115,7 +115,11 @@ def sample_bilinear_with_grad(data: jax.Array, geom: GridGeom, pos: jax.Array,
         idx = i0 * W + j0
         shape = idx.shape
         oh = jax.nn.one_hot(idx.reshape(-1), H * W, dtype=data.dtype)
-        corners = (oh @ M4).reshape(shape + (4,))
+        # HIGHEST precision: the MXU default truncates the fetched cell
+        # values to bf16 (up to 0.25 occupancy error at the [0, 100] scale)
+        corners = jnp.matmul(
+            oh, M4, precision=jax.lax.Precision.HIGHEST
+        ).reshape(shape + (4,))
         v00, v01, v10, v11 = (corners[..., 0], corners[..., 1],
                               corners[..., 2], corners[..., 3])
     else:
