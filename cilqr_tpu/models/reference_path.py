@@ -139,12 +139,25 @@ def get_local_plan(p: SolverParams, plan_xy: jax.Array, n_valid: jax.Array, ego_
     once per solve instead of once per (iteration x timestep).
     """
     start = closest_point_index(plan_xy, n_valid, ego_state)
-    idx = jnp.minimum(start + jnp.arange(p.num_of_local_wpts), n_valid - 1)
-    # window fetch as a one-hot dot (cheaper than a 20-row gather on TPU).
+    # Window fetch: the desired rows are min(start+i, n_valid-1).  Because
+    # pad_global_plan repeats the final waypoint, row min(start+i, P+W-1) of
+    # a W-row-extended plan equals the desired row for every start <= n-1.
+    # So precompute the (P, W*2) sliding-window table ONCE (unbatched under
+    # vmap — plan_xy carries no batch dim) and fetch each scenario's whole
+    # window with a single one-hot row-select matmul.  Versus one-hotting
+    # every window row over P (a (B, W, P) one-hot ~ 170 MB at B=4096,
+    # P=512), the one-hot here is (B, P) — 20x smaller — and the fetch is
+    # one MXU-shaped (B, P) @ (P, 2W) contraction.
+    P, W = plan_xy.shape[0], p.num_of_local_wpts
+    plan_ext = jnp.concatenate(
+        [plan_xy, jnp.broadcast_to(plan_xy[-1], (W, 2))], axis=0)  # (P+W, 2)
+    win_idx = jnp.arange(P)[:, None] + jnp.arange(W)[None, :]
+    windows = plan_ext[win_idx].reshape(P, 2 * W)  # shared across the batch
     # HIGHEST precision is required for exactness: the MXU's default bf16
     # operand truncation rounds ~100 m waypoint coordinates by up to 0.25 m.
-    oh = jax.nn.one_hot(idx, plan_xy.shape[0], dtype=plan_xy.dtype)
-    w = jnp.matmul(oh, plan_xy, precision=jax.lax.Precision.HIGHEST)  # (W, 2)
+    oh = jax.nn.one_hot(start, P, dtype=plan_xy.dtype)
+    w = jnp.matmul(oh, windows, precision=jax.lax.Precision.HIGHEST)
+    w = w.reshape(W, 2)
     x_w, y_w = w[:, 0], w[:, 1]
 
     coeffs, x_mid, x_scale = polyfit_scaled(x_w, y_w, p.poly_order)

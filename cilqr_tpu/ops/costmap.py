@@ -343,7 +343,9 @@ def propagate_uncertainty_reference(
     num0 = jnp.zeros_like(prior)
     den0 = jnp.zeros_like(prior)
     num, den = jax.lax.fori_loop(0, W * W, body, (num0, den0))
-    return jnp.where(psd & (den > 0), num / den, prior)
+    # the weighted average of occupancies in [0, 100] is in [0, 100]
+    # mathematically; clamp the low-precision rounding overshoot
+    return jnp.where(psd & (den > 0), jnp.clip(num / den, 0.0, 100.0), prior)
 
 
 def build_local_costmap(

@@ -79,7 +79,9 @@ def _kernel(R: int, res: float, chi2: float, rows: int, cols: int,
         num, den = jax.lax.fori_loop(0, W, body, (num, den))
     prior = prior_ref[:]
     good = (psd_ref[:] > 0.0) & (den > 0.0)
-    out_ref[:] = jnp.where(good, num / den, prior)
+    # the weighted average of occupancies in [0, 100] is in [0, 100]
+    # mathematically; clamp the f32 rounding overshoot (~1e-5 ulps)
+    out_ref[:] = jnp.where(good, jnp.clip(num / den, 0.0, 100.0), prior)
 
 
 @functools.partial(jax.jit, static_argnums=(0, 4, 5))
