@@ -96,21 +96,29 @@ def closed_loop(
     obs_xyyaw: Optional[jax.Array] = None,
     obs_size: Optional[jax.Array] = None,
     obs_mask: Optional[jax.Array] = None,
+    plan_step=None,
 ) -> tuple[jax.Array, ExperimentRecord]:
     """Run ``n_cycles`` plan->act cycles (apply U[0], receding horizon).
 
     Returns (final_state, ExperimentRecord).  The system bring-up sequence
     of SURVEY.md §3.4 collapses into this one function: no processes, no
     topics, one differentiable program.
+
+    ``plan_step(noisy_state, U_warm) -> SolveResult-like`` swaps in a
+    different planner (Frenet lattice, CCNMPC, ...); default is the CILQR
+    solver.  The result must expose .X/.U/.J/.iterations.
     """
     dtype = x0.dtype
     U0 = solver.initial_controls(p, dtype=dtype)
     have_obs = obs_xyyaw is not None
+    if plan_step is None:
+        def plan_step(noisy, U_warm):
+            return solver.run_step(p, plan_xy, plan_n, noisy, U_warm, obstacles, unc_map)
 
     def cycle(carry, key_t):
         state, U_warm = carry
         noisy = inject_noise(noise, key_t, state)
-        res = solver.run_step(p, plan_xy, plan_n, noisy, U_warm, obstacles, unc_map)
+        res = plan_step(noisy, U_warm)
         if have_obs:
             hit = check_collisions(p, state, obs_xyyaw, obs_size, obs_mask)
         else:

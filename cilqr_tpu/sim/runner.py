@@ -45,6 +45,62 @@ def build_scenario_inputs(p: SolverParams, scenario: scenarios.Scenario, dtype=j
     return ob, obs_xyyaw, obs_size, ob.mask
 
 
+#: The algorithm axis of the reference's comparison pipeline
+#: (batch_dataprocess.py:459-463: CCNMPC / CILQR / CILQR_Base / Frenet) plus
+#: the Frenet uncertainty ablations (Frenet/readme.md:1-15).
+ALGORITHMS = (
+    "cilqr",                # uncertainty-aware CILQR (the paper's method)
+    "cilqr_base",           # CILQR without the uncertainty-map term
+    "ccnmpc",               # chance-constrained NMPC (tightened ellipses)
+    "frenet_origin",        # Frenet lattice, uncertainty ignored
+    "frenet_expansion",     # Frenet lattice, chi-sigma inflated obstacles
+    "frenet_propagation",   # Frenet lattice, propagated uncertainty costmap
+)
+
+
+def make_plan_step(
+    algorithm: str,
+    p: SolverParams,
+    noise: NoiseParams,
+    plan: jnp.ndarray,
+    n,
+    obstacles=None,
+    unc_map=None,
+    frenet_params=None,
+    cc_params=None,
+):
+    """Planner step factory: ``(noisy_state, U_warm) -> SolveResult-like``.
+
+    One closed-loop/runner code path drives every algorithm in
+    ``ALGORITHMS`` — the TPU-native analog of swapping which planner node is
+    launched (SURVEY.md §3.4) while CARLA/vehiclepub stay fixed.
+    """
+    if algorithm == "cilqr":
+        return lambda e, u: solver.run_step(p, plan, n, e, u, obstacles, unc_map)
+    if algorithm == "cilqr_base":
+        return lambda e, u: solver.run_step(p, plan, n, e, u, obstacles, None)
+    if algorithm == "ccnmpc":
+        from cilqr_tpu.models import ccnmpc
+
+        cc = cc_params if cc_params is not None else ccnmpc.CCParams()
+        return lambda e, u: ccnmpc.run_step(p, cc, noise, plan, n, e, u, obstacles)
+    if algorithm.startswith("frenet"):
+        from cilqr_tpu.models import frenet
+
+        mode = algorithm.split("_", 1)[1]
+        fp = frenet_params if frenet_params is not None else frenet.FrenetParams()
+        if fp.mode != mode:
+            import dataclasses as _dc
+
+            fp = _dc.replace(fp, mode=mode)
+        sig = jnp.asarray([noise.sigma_x, noise.sigma_y, noise.sigma_theta])
+        return lambda e, u: frenet.plan_step(
+            p, fp, plan, n, e, obstacles,
+            unc_map=unc_map if mode == "propagation" else None, sigmas=sig,
+        )
+    raise ValueError(f"unknown algorithm {algorithm!r}; expected one of {ALGORITHMS}")
+
+
 def run_experiment_batch(
     p: SolverParams,
     noise: NoiseParams,
@@ -55,6 +111,10 @@ def run_experiment_batch(
     n_runs: int = 10,
     seed: int = 0,
     dtype=jnp.float32,
+    algorithm: str = "cilqr",
+    unc_map=None,
+    frenet_params=None,
+    cc_params=None,
 ):
     """The reference's 10-run experiment batch (batch_dataprocess.py:386-447,
     471) as ONE device program: ``n_runs`` independently-seeded closed-loop
@@ -68,11 +128,16 @@ def run_experiment_batch(
     plan, n = rp.pad_global_plan(p, plan_np, dtype=dtype)
     ob, obs_xyyaw, obs_size, obs_mask = build_scenario_inputs(p, scenario, dtype)
     x0j = jnp.asarray(x0, dtype)
+    plan_step = make_plan_step(
+        algorithm, p, noise, plan, n, obstacles=ob, unc_map=unc_map,
+        frenet_params=frenet_params, cc_params=cc_params,
+    )
 
     def one(key):
         return plant.closed_loop(
             p, noise, plan, n, x0j, key, n_cycles,
             obstacles=ob, obs_xyyaw=obs_xyyaw, obs_size=obs_size, obs_mask=obs_mask,
+            plan_step=plan_step,
         )
 
     keys = jax.random.split(jax.random.key(seed), n_runs)
@@ -83,12 +148,44 @@ def run_experiment_batch(
     rows = []
     for r in range(n_runs):
         row = metrics_mod.summary_row(
-            f"{scenario.name}/{r}", jax.tree.map(lambda a, r=r: a[r], per_run)
+            f"{algorithm}/{scenario.name}/{r}", jax.tree.map(lambda a, r=r: a[r], per_run)
         )
+        row["algorithm"] = algorithm
         row["collisions"] = int(np.asarray(rec.collided[r]).sum())
         row["mean_iterations"] = float(np.asarray(rec.iterations[r]).mean())
         rows.append(row)
     return {"final_states": np.asarray(xf), "record": rec}, rows
+
+
+def run_algorithm_comparison(
+    p: SolverParams,
+    noise: NoiseParams,
+    plan_np: np.ndarray,
+    x0: np.ndarray,
+    n_cycles: int,
+    scenario: scenarios.Scenario,
+    algorithms=ALGORITHMS,
+    n_runs: int = 10,
+    seed: int = 0,
+    dtype=jnp.float32,
+    unc_map=None,
+):
+    """The full batch_dataprocess.py comparison (one sheet per algorithm,
+    :459-502) in one call: every algorithm runs the same scenario with the
+    same seeds, returning {algorithm: (out, rows)} plus a flat row list
+    ready for ``metrics.export_csv``.
+    """
+    results = {}
+    all_rows = []
+    for algo in algorithms:
+        out, rows = run_experiment_batch(
+            p, noise, plan_np, x0, n_cycles, scenario,
+            n_runs=n_runs, seed=seed, dtype=dtype,
+            algorithm=algo, unc_map=unc_map,
+        )
+        results[algo] = (out, rows)
+        all_rows.extend(rows)
+    return results, all_rows
 
 
 def run_experiment(
