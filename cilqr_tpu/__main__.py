@@ -47,7 +47,8 @@ def _cmd_run(args) -> int:
     log = explog.ExperimentLog(out_dir / "experiment.log", "w")
 
     rec = runner.run_experiment(
-        p, noise, plan, x0, args.cycles, scenario=sc, seed=args.seed, log=log
+        p, noise, plan, x0, args.cycles, scenario=sc, seed=args.seed, log=log,
+        algorithm=args.algorithm,
     )
     log.close()
 
@@ -116,12 +117,60 @@ def _cmd_bench(args) -> int:
     return bench_main() or 0
 
 
+def _cmd_compare(args) -> int:
+    """Algorithm-comparison campaign: the reference's multi-algorithm
+    10-bag batches (batch_dataprocess.py:459-502) end to end."""
+    import jax.numpy as jnp
+
+    from cilqr_tpu.sim import runner, scenarios
+    from cilqr_tpu.utils import metrics
+    from cilqr_tpu.utils.params import NoiseParams, SolverParams
+
+    p = dataclasses.replace(SolverParams(), horizon=args.horizon)
+    noise = NoiseParams(args.sigma_x, args.sigma_y, args.sigma_theta)
+    plan = scenarios.straight_lane_plan()
+    x0 = np.array([args.x0, args.y0, args.v0, 0.0])
+    algos = tuple(args.algorithms.split(","))
+
+    out_dir = pathlib.Path(args.out)
+    out_dir.mkdir(parents=True, exist_ok=True)
+
+    all_rows = []
+    summary = {}
+    for name in args.scenarios.split(","):
+        sc = scenarios.get_scenario(name)
+        results, rows = runner.run_algorithm_comparison(
+            p, noise, plan, x0, args.cycles, sc,
+            algorithms=algos, n_runs=args.runs, seed=args.seed,
+        )
+        all_rows.extend(rows)
+        for algo in algos:
+            rs = results[algo][1]
+            summary[f"{name}/{algo}"] = {
+                "collision_runs": sum(1 for r in rs if r["collisions"] > 0),
+                "velocity_mean": round(
+                    float(np.mean([r["velocity_mean"] for r in rs])), 3),
+                "mean_jerk": round(
+                    float(np.mean([r["mean_jerk"] for r in rs])), 4),
+                "min_obstacle_distance": round(
+                    float(np.min([r["distance_to_obstacles_min"] for r in rs])), 3),
+                "curvature_mean": round(
+                    float(np.mean([r["curvature_mean"] for r in rs])), 4),
+            }
+
+    metrics.export_csv(all_rows, str(out_dir / "comparison.csv"))
+    print(json.dumps(summary, indent=2))
+    return 0
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(prog="cilqr_tpu")
     sub = ap.add_subparsers(dest="cmd", required=True)
 
     r = sub.add_parser("run", help="closed-loop scenario experiment")
     r.add_argument("--scenario", default="success1")
+    r.add_argument("--algorithm", default="cilqr",
+                   help="one of sim.runner.ALGORITHMS")
     r.add_argument("--cycles", type=int, default=60)
     r.add_argument("--horizon", type=int, default=40)
     r.add_argument("--out", default="/tmp/cilqr_exp")
@@ -149,6 +198,27 @@ def main(argv=None) -> int:
 
     b = sub.add_parser("bench", help="run the benchmark (one JSON line)")
     b.set_defaults(fn=_cmd_bench)
+
+    c = sub.add_parser(
+        "compare", help="multi-algorithm closed-loop comparison campaign")
+    c.add_argument("--scenarios", default="success1,success2,success3,compare")
+    c.add_argument(
+        "--algorithms",
+        default="cilqr,cilqr_base,ccnmpc,frenet_origin,frenet_expansion,frenet_propagation",
+        help="comma-separated subset of sim.runner.ALGORITHMS",
+    )
+    c.add_argument("--runs", type=int, default=10)
+    c.add_argument("--cycles", type=int, default=120)
+    c.add_argument("--horizon", type=int, default=40)
+    c.add_argument("--seed", type=int, default=0)
+    c.add_argument("--out", default="/tmp/cilqr_cmp")
+    c.add_argument("--sigma-x", type=float, default=0.16)
+    c.add_argument("--sigma-y", type=float, default=0.16)
+    c.add_argument("--sigma-theta", type=float, default=0.017)
+    c.add_argument("--x0", type=float, default=70.0)
+    c.add_argument("--y0", type=float, default=-306.74)
+    c.add_argument("--v0", type=float, default=4.0)
+    c.set_defaults(fn=_cmd_compare)
 
     args = ap.parse_args(argv)
     return args.fn(args)

@@ -92,10 +92,21 @@ def main():
     out = fn(ego_batches[0], U0s)
     jax.block_until_ready(out)
 
-    t0 = time.perf_counter()
-    outs = [fn(e, U0s) for e in ego_batches]
-    jax.block_until_ready(outs)
-    dt = (time.perf_counter() - t0) / iters
+    # BENCH_TRACE=<dir>: capture a jax.profiler trace of the throughput
+    # phase.  Inspect with xprof/tensorboard:
+    #   tensorboard --logdir <dir>   (or xprof's trace_viewer on the
+    #   .trace.json.gz under <dir>/plugins/profile/)
+    trace_dir = os.environ.get("BENCH_TRACE")
+    import contextlib
+
+    tracer = (
+        jax.profiler.trace(trace_dir) if trace_dir else contextlib.nullcontext()
+    )
+    with tracer:
+        t0 = time.perf_counter()
+        outs = [fn(e, U0s) for e in ego_batches]
+        jax.block_until_ready(outs)
+        dt = (time.perf_counter() - t0) / iters
     solves_per_sec = B / dt
     out = outs[-1]
 

@@ -199,6 +199,7 @@ def run_experiment(
     seed: int = 0,
     dtype=jnp.float32,
     log=None,
+    algorithm: str = "cilqr",
 ):
     """Closed-loop run with per-cycle wall-clock planning times.
 
@@ -212,9 +213,8 @@ def run_experiment(
     else:
         ob = obs_xyyaw = obs_size = obs_mask = None
 
-    solve = jax.jit(
-        lambda e, u: solver.run_step(p, plan, n, e, u, ob, unc_map)
-    )
+    solve = jax.jit(make_plan_step(
+        algorithm, p, noise, plan, n, obstacles=ob, unc_map=unc_map))
     step = jax.jit(lambda s, u0: dynamics.step(p, s, u0))
 
     key = jax.random.key(seed)

@@ -38,14 +38,24 @@ def _native_dir() -> pathlib.Path:
     )
 
 
+def _installed_ext() -> pathlib.Path | None:
+    """A wheel-installed build of the library (setup.py ext_modules) — a
+    `_explog_native*.so` artifact next to this file; dlopen'ed, never
+    imported (it exports a C ABI, not a Python module)."""
+    hits = sorted(pathlib.Path(__file__).resolve().parent.glob("_explog_native*.so"))
+    return hits[0] if hits else None
+
+
 def _load():
     global _lib
     if _lib is not None:
         return _lib
-    native = _native_dir()
-    so = native / "libexplog.so"
-    if not so.exists():
-        subprocess.run(["make", "-C", str(native)], check=True, capture_output=True)
+    so = _installed_ext()
+    if so is None:
+        native = _native_dir()
+        so = native / "libexplog.so"
+        if not so.exists():
+            subprocess.run(["make", "-C", str(native)], check=True, capture_output=True)
     lib = ctypes.CDLL(str(so))
     lib.explog_open.restype = ctypes.c_void_p
     lib.explog_open.argtypes = [ctypes.c_char_p, ctypes.c_int]
