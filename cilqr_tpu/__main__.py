@@ -36,11 +36,15 @@ def _cmd_run(args) -> int:
         horizon=args.horizon,
         desired_speed=args.desired_speed,
         w_uncertainty=args.w_uncertainty,
+        # the long scenario's loop route has north/south legs — the global
+        # y(x) parity fit cannot represent them (see reference_path.py)
+        chord_frame_fit=(args.scenario == "long"),
     )
     noise = NoiseParams(args.sigma_x, args.sigma_y, args.sigma_theta)
     sc = scenarios.get_scenario(args.scenario)
-    plan = scenarios.straight_lane_plan()
-    x0 = np.array([args.x0, args.y0, args.v0, args.yaw0])
+    plan = scenarios.plan_for(args.scenario)
+    x0 = np.array(sc.start) if args.x0 is None else np.array(
+        [args.x0, args.y0, args.v0, args.yaw0])
 
     out_dir = pathlib.Path(args.out)
     out_dir.mkdir(parents=True, exist_ok=True)
@@ -126,22 +130,50 @@ def _cmd_compare(args) -> int:
     from cilqr_tpu.utils import metrics
     from cilqr_tpu.utils.params import NoiseParams, SolverParams
 
-    p = dataclasses.replace(SolverParams(), horizon=args.horizon)
     noise = NoiseParams(args.sigma_x, args.sigma_y, args.sigma_theta)
-    plan = scenarios.straight_lane_plan()
-    x0 = np.array([args.x0, args.y0, args.v0, 0.0])
     algos = tuple(args.algorithms.split(","))
 
     out_dir = pathlib.Path(args.out)
     out_dir.mkdir(parents=True, exist_ok=True)
 
+    cm_kwargs = {}
+    if args.full_stack:
+        # per-cycle uncertainty costmaps from a synthetic Town02-style
+        # prior map — the complete map_engine + planner pipeline; without
+        # it the uncertainty-consuming algorithm variants degrade to their
+        # base algorithms (no costmap to consume).
+        import jax.numpy as jnp
+
+        from cilqr_tpu.ops import gridmap
+        from cilqr_tpu.utils import maps
+        from cilqr_tpu.utils.params import CostmapParams
+
+        yaml = maps.make_synthetic_town(str(out_dir / "town"))
+        occ, info = maps.load_map(yaml)
+        arr, center = maps.to_gridmap_array(occ, info, unknown_value=100.0)
+        cm_kwargs = {
+            "costmap_params": CostmapParams(),
+            "global_map": jnp.asarray(arr, jnp.float32),
+            "global_geom": gridmap.make_geom(
+                center, info.resolution, arr.shape[0], arr.shape[1],
+                dtype=jnp.float32),
+            "use_pallas": True,
+        }
+
     all_rows = []
     summary = {}
     for name in args.scenarios.split(","):
         sc = scenarios.get_scenario(name)
+        p = dataclasses.replace(
+            SolverParams(), horizon=args.horizon,
+            chord_frame_fit=(name == "long"))
+        plan = scenarios.plan_for(name)
+        x0 = np.array(sc.start) if args.x0 is None else np.array(
+            [args.x0, args.y0, args.v0, 0.0])
         results, rows = runner.run_algorithm_comparison(
             p, noise, plan, x0, args.cycles, sc,
             algorithms=algos, n_runs=args.runs, seed=args.seed,
+            **cm_kwargs,
         )
         all_rows.extend(rows)
         for algo in algos:
@@ -181,7 +213,8 @@ def main(argv=None) -> int:
     r.add_argument("--sigma-x", type=float, default=0.16)
     r.add_argument("--sigma-y", type=float, default=0.16)
     r.add_argument("--sigma-theta", type=float, default=0.017)
-    r.add_argument("--x0", type=float, default=70.0)
+    r.add_argument("--x0", type=float, default=None,
+                   help="override the scenario's default spawn x")
     r.add_argument("--y0", type=float, default=-306.74)
     r.add_argument("--v0", type=float, default=4.0)
     r.add_argument("--yaw0", type=float, default=0.0)
@@ -215,9 +248,13 @@ def main(argv=None) -> int:
     c.add_argument("--sigma-x", type=float, default=0.16)
     c.add_argument("--sigma-y", type=float, default=0.16)
     c.add_argument("--sigma-theta", type=float, default=0.017)
-    c.add_argument("--x0", type=float, default=70.0)
+    c.add_argument("--x0", type=float, default=None,
+                   help="override every scenario's default spawn x")
     c.add_argument("--y0", type=float, default=-306.74)
     c.add_argument("--v0", type=float, default=4.0)
+    c.add_argument("--full-stack", action="store_true",
+                   help="rebuild the uncertainty costmap every cycle from a "
+                        "synthetic Town02-style prior (map_engine pipeline)")
     c.set_defaults(fn=_cmd_compare)
 
     args = ap.parse_args(argv)

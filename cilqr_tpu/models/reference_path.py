@@ -160,6 +160,37 @@ def get_local_plan(p: SolverParams, plan_xy: jax.Array, n_valid: jax.Array, ego_
     w = w.reshape(W, 2)
     x_w, y_w = w[:, 0], w[:, 1]
 
+    if p.chord_frame_fit:
+        # Fit in a chord-aligned frame: the reference's raw y(x) fit
+        # (LocalPlanner.cpp:101-117) is rank-deficient on north/south road
+        # legs (constant x -> the QR least-norm solution collapses the
+        # reference line to y ~ mean).  Rotating the window by the chord
+        # heading keeps the fit a function for any road direction; the
+        # returned waypoints/sample table are rotated BACK to the global
+        # frame, so every consumer (tracking cost, closest-point field,
+        # Frenet ref line, viz) is unchanged.  Off by default — the global
+        # frame fit is the parity behavior.
+        x0w, y0w = x_w[0], y_w[0]
+        cx, cyw = x_w[-1] - x0w, y_w[-1] - y0w
+        chord = jnp.sqrt(cx * cx + cyw * cyw)
+        ok = chord > 1e-6
+        cph = jnp.where(ok, cx / jnp.maximum(chord, 1e-6), 1.0)
+        sph = jnp.where(ok, cyw / jnp.maximum(chord, 1e-6), 0.0)
+        xr = cph * (x_w - x0w) + sph * (y_w - y0w)
+        yr = -sph * (x_w - x0w) + cph * (y_w - y0w)
+
+        coeffs, x_mid, x_scale = polyfit_scaled(xr, yr, p.poly_order)
+        yr_fit = polyval_scaled(coeffs, x_mid, x_scale, xr)
+        gx_w = x0w + cph * xr - sph * yr_fit
+        gy_w = y0w + sph * xr + cph * yr_fit
+
+        n = p.n_closest_samples
+        sxr = xr[0] + (xr[-1] - xr[0]) / n * jnp.arange(n)
+        syr = polyval_scaled(coeffs, x_mid, x_scale, sxr)
+        sx = x0w + cph * sxr - sph * syr
+        sy = y0w + sph * sxr + cph * syr
+        return LocalPlan(coeffs, x_mid, x_scale, gx_w, gy_w, sx, sy)
+
     coeffs, x_mid, x_scale = polyfit_scaled(x_w, y_w, p.poly_order)
     y_fit = polyval_scaled(coeffs, x_mid, x_scale, x_w)
 

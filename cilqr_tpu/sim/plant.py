@@ -157,6 +157,7 @@ def closed_loop_full_stack(
     obs_size: Optional[jax.Array] = None,
     obs_mask: Optional[jax.Array] = None,
     use_pallas: bool = False,
+    plan_step=None,
 ):
     """The complete two-node pipeline in one scan: every cycle rebuilds the
     local uncertainty costmap from the global prior (the map_engine node,
@@ -166,12 +167,19 @@ def closed_loop_full_stack(
     raw odometry) while the solver sees the *noisy* pose (the planner node
     injects localization noise, ilqr_uncertainty_node.cpp:82-110) — exactly
     the reference's information flow.
+
+    ``plan_step(noisy_state, U_warm, umap) -> SolveResult-like`` swaps in a
+    different planner receiving the per-cycle uncertainty map; default is
+    the CILQR solver.
     """
     from cilqr_tpu.models import uncertainty as unc_mod
     from cilqr_tpu.ops import costmap as costmap_mod
 
     dtype = x0.dtype
     U0 = solver.initial_controls(p, dtype=dtype)
+    if plan_step is None:
+        def plan_step(noisy, U_warm, umap):
+            return solver.run_step(p, plan_xy, plan_n, noisy, U_warm, obstacles, umap)
     M = obs_xyyaw.shape[0] if obs_xyyaw is not None else 0
     if M:
         sizes = jnp.broadcast_to(obs_size, (M, 2)) if obs_size.ndim == 1 else obs_size
@@ -191,7 +199,7 @@ def closed_loop_full_stack(
             cm.uncertainty_map, cm.geom, cm.origin_xy, cm.origin_yaw
         )
         noisy = inject_noise(noise, key_t, state)
-        res = solver.run_step(p, plan_xy, plan_n, noisy, U_warm, obstacles, umap)
+        res = plan_step(noisy, U_warm, umap)
         if M:
             hit = check_collisions(p, state, obs_xyyaw, obs_size, obs_mask)
         else:

@@ -69,21 +69,28 @@ def make_plan_step(
     frenet_params=None,
     cc_params=None,
 ):
-    """Planner step factory: ``(noisy_state, U_warm) -> SolveResult-like``.
+    """Planner step factory: ``(noisy_state, U_warm, umap=None) ->
+    SolveResult-like``.
 
     One closed-loop/runner code path drives every algorithm in
     ``ALGORITHMS`` — the TPU-native analog of swapping which planner node is
-    launched (SURVEY.md §3.4) while CARLA/vehiclepub stay fixed.
+    launched (SURVEY.md §3.4) while CARLA/vehiclepub stay fixed.  The
+    optional third argument carries a per-cycle uncertainty costmap (the
+    full-stack loop rebuilds it every tick); algorithms that do not consume
+    the costmap ignore it, `cilqr_base` discards it by definition.
     """
     if algorithm == "cilqr":
-        return lambda e, u: solver.run_step(p, plan, n, e, u, obstacles, unc_map)
+        return lambda e, u, umap=None: solver.run_step(
+            p, plan, n, e, u, obstacles, umap if umap is not None else unc_map)
     if algorithm == "cilqr_base":
-        return lambda e, u: solver.run_step(p, plan, n, e, u, obstacles, None)
+        return lambda e, u, umap=None: solver.run_step(
+            p, plan, n, e, u, obstacles, None)
     if algorithm == "ccnmpc":
         from cilqr_tpu.models import ccnmpc
 
         cc = cc_params if cc_params is not None else ccnmpc.CCParams()
-        return lambda e, u: ccnmpc.run_step(p, cc, noise, plan, n, e, u, obstacles)
+        return lambda e, u, umap=None: ccnmpc.run_step(
+            p, cc, noise, plan, n, e, u, obstacles)
     if algorithm.startswith("frenet"):
         from cilqr_tpu.models import frenet
 
@@ -94,10 +101,12 @@ def make_plan_step(
 
             fp = _dc.replace(fp, mode=mode)
         sig = jnp.asarray([noise.sigma_x, noise.sigma_y, noise.sigma_theta])
-        return lambda e, u: frenet.plan_step(
-            p, fp, plan, n, e, obstacles,
-            unc_map=unc_map if mode == "propagation" else None, sigmas=sig,
-        )
+        if mode == "propagation":
+            return lambda e, u, umap=None: frenet.plan_step(
+                p, fp, plan, n, e, obstacles,
+                unc_map=umap if umap is not None else unc_map, sigmas=sig)
+        return lambda e, u, umap=None: frenet.plan_step(
+            p, fp, plan, n, e, obstacles, unc_map=None, sigmas=sig)
     raise ValueError(f"unknown algorithm {algorithm!r}; expected one of {ALGORITHMS}")
 
 
@@ -115,10 +124,19 @@ def run_experiment_batch(
     unc_map=None,
     frenet_params=None,
     cc_params=None,
+    costmap_params=None,
+    global_map=None,
+    global_geom=None,
+    use_pallas: bool = False,
 ):
     """The reference's 10-run experiment batch (batch_dataprocess.py:386-447,
     471) as ONE device program: ``n_runs`` independently-seeded closed-loop
     runs of a scenario, vmapped over the seed axis.
+
+    With ``costmap_params``/``global_map``/``global_geom`` set, every cycle
+    rebuilds the local uncertainty costmap from the global prior (the
+    full map_engine + planner pipeline) and feeds it to costmap-consuming
+    algorithms (`cilqr`, `frenet_propagation`).
 
     Returns (record dict with leading axis (n_runs, n_cycles, ...),
     metrics rows ready for ``utils.metrics.export_csv``).
@@ -132,8 +150,16 @@ def run_experiment_batch(
         algorithm, p, noise, plan, n, obstacles=ob, unc_map=unc_map,
         frenet_params=frenet_params, cc_params=cc_params,
     )
+    full_stack = costmap_params is not None
 
     def one(key):
+        if full_stack:
+            return plant.closed_loop_full_stack(
+                p, costmap_params, noise, global_map, global_geom, plan, n,
+                x0j, key, n_cycles, obstacles=ob,
+                obs_xyyaw=obs_xyyaw, obs_size=obs_size, obs_mask=obs_mask,
+                use_pallas=use_pallas, plan_step=plan_step,
+            )
         return plant.closed_loop(
             p, noise, plan, n, x0j, key, n_cycles,
             obstacles=ob, obs_xyyaw=obs_xyyaw, obs_size=obs_size, obs_mask=obs_mask,
@@ -142,17 +168,18 @@ def run_experiment_batch(
 
     keys = jax.random.split(jax.random.key(seed), n_runs)
     xf, rec = jax.jit(jax.vmap(one))(keys)
+    get = rec.__getitem__ if isinstance(rec, dict) else lambda k: getattr(rec, k)
 
     obs_xy = jnp.asarray(scenario.obstacles_xyyaw[:, :2], dtype)
-    per_run = metrics_mod.analyze_batch(rec.start_pos, obs_xy, dt=p.timestep)
+    per_run = metrics_mod.analyze_batch(get("start_pos"), obs_xy, dt=p.timestep)
     rows = []
     for r in range(n_runs):
         row = metrics_mod.summary_row(
             f"{algorithm}/{scenario.name}/{r}", jax.tree.map(lambda a, r=r: a[r], per_run)
         )
         row["algorithm"] = algorithm
-        row["collisions"] = int(np.asarray(rec.collided[r]).sum())
-        row["mean_iterations"] = float(np.asarray(rec.iterations[r]).mean())
+        row["collisions"] = int(np.asarray(get("collided")[r]).sum())
+        row["mean_iterations"] = float(np.asarray(get("iterations")[r]).mean())
         rows.append(row)
     return {"final_states": np.asarray(xf), "record": rec}, rows
 
@@ -169,11 +196,19 @@ def run_algorithm_comparison(
     seed: int = 0,
     dtype=jnp.float32,
     unc_map=None,
+    costmap_params=None,
+    global_map=None,
+    global_geom=None,
+    use_pallas: bool = False,
 ):
     """The full batch_dataprocess.py comparison (one sheet per algorithm,
     :459-502) in one call: every algorithm runs the same scenario with the
     same seeds, returning {algorithm: (out, rows)} plus a flat row list
-    ready for ``metrics.export_csv``.
+    ready for ``metrics.export_csv``.  Pass the costmap/global-map arguments
+    to run the full per-cycle map_engine pipeline (required for `cilqr` vs
+    `cilqr_base` and `frenet_propagation` vs `frenet_origin` to actually
+    differ — without a costmap the uncertainty-consuming variants degrade
+    to their base algorithms).
     """
     results = {}
     all_rows = []
@@ -182,6 +217,8 @@ def run_algorithm_comparison(
             p, noise, plan_np, x0, n_cycles, scenario,
             n_runs=n_runs, seed=seed, dtype=dtype,
             algorithm=algo, unc_map=unc_map,
+            costmap_params=costmap_params, global_map=global_map,
+            global_geom=global_geom, use_pallas=use_pallas,
         )
         results[algo] = (out, rows)
         all_rows.extend(rows)

@@ -67,11 +67,25 @@ EVAL_WINDOWS = {
 }
 
 
+#: Per-scenario ego spawn [x, y, v, yaw] — the "change start position" step
+#: of the reference bring-up (CILQR/src/README.md; the ros-bridge spawn is
+#: edited per scenario).  The compare obstacle sits at x=72.32, so its run
+#: starts further back; everything else starts at the lane head.
+_STARTS: Dict[str, Tuple[float, float, float, float]] = {
+    "long": (60.0, -306.74, 4.0, 0.0),
+    "compare": (50.0, -306.74, 4.0, 0.0),
+    "success1": (70.0, -306.74, 4.0, 0.0),
+    "success2": (70.0, -306.74, 4.0, 0.0),
+    "success3": (70.0, -306.74, 4.0, 0.0),
+}
+
+
 @dataclasses.dataclass(frozen=True)
 class Scenario:
     name: str
     obstacles_xyyaw: np.ndarray  # (M, 3)
     obstacle_size: Tuple[float, float] = (OBSTACLE_LENGTH, OBSTACLE_WIDTH)
+    start: Tuple[float, float, float, float] = (70.0, -306.74, 4.0, 0.0)
 
     @property
     def n_obstacles(self) -> int:
@@ -81,7 +95,19 @@ class Scenario:
 def get_scenario(name: str) -> Scenario:
     if name not in _SCENARIOS:
         raise KeyError(f"unknown scenario {name!r}; have {sorted(_SCENARIOS)}")
-    return Scenario(name, np.asarray(_SCENARIOS[name], dtype=np.float64))
+    return Scenario(
+        name,
+        np.asarray(_SCENARIOS[name], dtype=np.float64),
+        start=_STARTS.get(name, (70.0, -306.74, 4.0, 0.0)),
+    )
+
+
+def plan_for(name: str, spacing: float = 1.0) -> np.ndarray:
+    """The global route a scenario is driven on: the Town02 loop for
+    ``long``, the straight south leg for everything else."""
+    if name == "long":
+        return town02_loop_plan(spacing)
+    return straight_lane_plan(spacing=spacing)
 
 
 def scenario_names() -> List[str]:
@@ -93,3 +119,38 @@ def straight_lane_plan(x0=60.0, y=-306.74, length=150.0, spacing=1.0) -> np.ndar
     n = int(length / spacing) + 1
     xs = x0 + spacing * np.arange(n)
     return np.stack([xs, np.full(n, y)], axis=1)
+
+
+def town02_loop_plan(spacing: float = 1.0) -> np.ndarray:
+    """(n, 2) route through the full ``long`` scenario corridor.
+
+    The reference gets this route from the CARLA ros-bridge waypoint
+    publisher on Town02 (`/carla/ego_vehicle/waypoints`,
+    ilqr_uncertainty_node.cpp:14); CARLA-free, we synthesize the same
+    C-shaped circuit the `long` spawn table traces
+    (vehiclepub/scripts/main.py:142-157, poses y-negated like _SCENARIOS):
+    east along y=-306.74 (x 60->184), north along x~190 (y -300->-112),
+    then west along y=-105 (x 183->70), with quarter-circle corners.
+    """
+    r = 6.0  # corner radius [m]
+    y_s, x_e, y_n = -306.74, 190.14, -105.0
+
+    def arc(cx, cy, a0, a1, n):
+        a = np.linspace(a0, a1, n)
+        return np.stack([cx + r * np.cos(a), cy + r * np.sin(a)], axis=1)
+
+    n_arc = max(int(r * np.pi / 2.0 / spacing) + 1, 4)
+    # leg 1: east along the south road
+    x1 = np.arange(60.0, x_e - r, spacing)
+    leg1 = np.stack([x1, np.full_like(x1, y_s)], axis=1)
+    # corner 1: south-east, turning from +x heading to +y heading
+    c1 = arc(x_e - r, y_s + r, -np.pi / 2.0, 0.0, n_arc)
+    # leg 2: north along the east road
+    y2 = np.arange(y_s + r, y_n - r, spacing)
+    leg2 = np.stack([np.full_like(y2, x_e), y2], axis=1)
+    # corner 2: north-east, turning from +y heading to -x heading
+    c2 = arc(x_e - r, y_n - r, 0.0, np.pi / 2.0, n_arc)
+    # leg 3: west along the north road
+    x3 = np.arange(x_e - r, 70.0, -spacing)
+    leg3 = np.stack([x3, np.full_like(x3, y_n)], axis=1)
+    return np.concatenate([leg1, c1[1:], leg2[1:], c2[1:], leg3[1:]], axis=0)

@@ -95,6 +95,11 @@ class SolverParams:
     max_global_plan_points: int = 512   # padded global-plan length
     max_obstacles: int = 8              # padded obstacle count
     closest_point_samples_per_wpt: int = 10  # Constraints.cpp:28 densification
+    # Fit the local plan in a chord-aligned frame instead of the reference's
+    # global y(x) basis (LocalPlanner.cpp:101-117), which is rank-deficient
+    # on north/south roads.  Required for routes with vertical legs (e.g.
+    # the `long` scenario loop); off by default for reference parity.
+    chord_frame_fit: bool = False
     # lax.scan unroll factor for the Riccati/rollout scans (measured neutral
     # on v5e at B=1024 — kept for experimentation; the real fast path is the
     # fused Pallas backward kernel in ops/riccati_pallas.py)

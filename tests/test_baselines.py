@@ -303,3 +303,39 @@ def test_unknown_algorithm_rejected(lane_setup):
     p, plan, n = lane_setup
     with pytest.raises(ValueError):
         runner.make_plan_step("rrt", p, NoiseParams(), plan, n)
+
+
+def test_full_stack_comparison_differentiates(global_plan):
+    """With per-cycle costmaps, `cilqr` and `cilqr_base` actually diverge
+    (without them the uncertainty term has nothing to consume)."""
+    from cilqr_tpu.ops import gridmap
+    from cilqr_tpu.utils.params import CostmapParams
+
+    # horizon 40 so the planned trajectory tail (~16 m ahead) reaches into
+    # the corridor costmap, which sits ~12 m ahead of the ego
+    p = dataclasses.replace(SolverParams(), max_iterations=4)
+    cp = dataclasses.replace(CostmapParams(), rows=32, cols=48, window_radius=4)
+    ggeom = gridmap.make_geom([130.0, -280.0], 1.0, 128, 128, dtype=jnp.float64)
+    # occupied block butting the lane just ahead of the ego (placed via the
+    # geometry helper — no index-convention guessing)
+    xs, ys = gridmap.cell_positions(ggeom, 128, 128)  # (rows,), (cols,)
+    gm = np.where(
+        ((np.asarray(xs) > 103) & (np.asarray(xs) < 118))[:, None]
+        & ((np.asarray(ys) > -307.5) & (np.asarray(ys) < -303.0))[None, :],
+        90.0, 0.0)
+    sc = scenarios.Scenario("fs", np.array([[120.0, -305.0, 0.0]]))
+
+    outs = {}
+    for algo in ("cilqr", "cilqr_base"):
+        out, rows = runner.run_experiment_batch(
+            p, NoiseParams(0.05, 0.05, 0.005), global_plan,
+            np.array([100.0, -305.6, 4.0, 0.05]), n_cycles=3,
+            scenario=sc, n_runs=1, dtype=jnp.float64, algorithm=algo,
+            costmap_params=cp, global_map=jnp.asarray(gm), global_geom=ggeom,
+        )
+        assert all(np.isfinite(r["velocity_mean"]) for r in rows)
+        outs[algo] = out["record"]["noisy_pos"]
+    # same seeds, same noise — any trajectory difference comes from the
+    # uncertainty-map term (cilqr consumes it, cilqr_base discards it)
+    assert not np.allclose(np.asarray(outs["cilqr"]),
+                           np.asarray(outs["cilqr_base"]))
