@@ -56,13 +56,22 @@ def closest_point_index(plan_xy: jax.Array, n_valid: jax.Array, point: jax.Array
     return jnp.argmin(d)
 
 
-def polyfit_scaled(x: jax.Array, y: jax.Array, order: int) -> tuple[jax.Array, jax.Array, jax.Array]:
+def polyfit_scaled(
+    x: jax.Array, y: jax.Array, order: int, weights: jax.Array | None = None
+) -> tuple[jax.Array, jax.Array, jax.Array]:
     """Least-squares polynomial fit in a centered/scaled basis.
 
     Solves the same least-squares problem as the reference's
     colPivHouseholderQr on a raw Vandermonde (LocalPlanner.cpp:101-117), but
     on the well-conditioned basis t = (x - mid)/scale.
     Returns (coeffs ascending in t, mid, scale).
+
+    ``weights`` (optional, per-row >= 0) turns the solve into weighted least
+    squares — used by the exact end-of-plan window shrink, where padded
+    repeat rows get weight 0.  A tiny ridge keeps the (order+1)^2 system
+    solvable when fewer than order+1 rows carry weight (the reference's
+    rank-deficient QR returns a least-norm solution there;
+    LocalPlanner.cpp:113-116).
     """
     x_mid = 0.5 * (jnp.max(x) + jnp.min(x))
     x_scale = jnp.maximum(0.5 * (jnp.max(x) - jnp.min(x)), 1e-6)
@@ -76,9 +85,17 @@ def polyfit_scaled(x: jax.Array, y: jax.Array, order: int) -> tuple[jax.Array, j
     # HIGHEST matmul precision: TPU MXU default truncates f32 operands to
     # bf16 — a ~0.4% relative error on the Gram matrix that survives into
     # the fitted reference line.  bf16x3 keeps these small dots exact.
-    y_mid = jnp.mean(y)
-    G = jnp.matmul(V.T, V, precision=jax.lax.Precision.HIGHEST)
-    b = jnp.matmul(V.T, (y - y_mid), precision=jax.lax.Precision.HIGHEST)
+    if weights is not None:
+        wsum = jnp.maximum(jnp.sum(weights), 1.0)
+        y_mid = jnp.sum(weights * y) / wsum
+        Vw = V * weights[:, None]
+        G = jnp.matmul(Vw.T, V, precision=jax.lax.Precision.HIGHEST)
+        b = jnp.matmul(Vw.T, (y - y_mid), precision=jax.lax.Precision.HIGHEST)
+        G = G + 1e-9 * jnp.eye(order + 1, dtype=G.dtype)
+    else:
+        y_mid = jnp.mean(y)
+        G = jnp.matmul(V.T, V, precision=jax.lax.Precision.HIGHEST)
+        b = jnp.matmul(V.T, (y - y_mid), precision=jax.lax.Precision.HIGHEST)
     coeffs = _chol_solve(G, b)
     coeffs = coeffs.at[0].add(y_mid)
     return coeffs, x_mid, x_scale
@@ -149,6 +166,15 @@ def get_local_plan(p: SolverParams, plan_xy: jax.Array, n_valid: jax.Array, ego_
     # P=512), the one-hot here is (B, P) — 20x smaller — and the fetch is
     # one MXU-shaped (B, P) @ (P, 2W) contraction.
     P, W = plan_xy.shape[0], p.num_of_local_wpts
+    # exact end-of-plan shrink (LocalPlanner.cpp:51-58): the reference fits
+    # only the remaining points when < W are left; with static shapes the
+    # repeated tail rows get weight 0 instead of over-weighting the final
+    # waypoint.  Off by default: the repeat-last clamp is the documented
+    # benign divergence and saves the weighted-solve branch.
+    fit_w = (
+        ((start + jnp.arange(W)) < n_valid).astype(plan_xy.dtype)
+        if p.exact_end_shrink else None
+    )
     plan_ext = jnp.concatenate(
         [plan_xy, jnp.broadcast_to(plan_xy[-1], (W, 2))], axis=0)  # (P+W, 2)
     win_idx = jnp.arange(P)[:, None] + jnp.arange(W)[None, :]
@@ -179,7 +205,7 @@ def get_local_plan(p: SolverParams, plan_xy: jax.Array, n_valid: jax.Array, ego_
         xr = cph * (x_w - x0w) + sph * (y_w - y0w)
         yr = -sph * (x_w - x0w) + cph * (y_w - y0w)
 
-        coeffs, x_mid, x_scale = polyfit_scaled(xr, yr, p.poly_order)
+        coeffs, x_mid, x_scale = polyfit_scaled(xr, yr, p.poly_order, weights=fit_w)
         yr_fit = polyval_scaled(coeffs, x_mid, x_scale, xr)
         gx_w = x0w + cph * xr - sph * yr_fit
         gy_w = y0w + sph * xr + cph * yr_fit
@@ -191,7 +217,7 @@ def get_local_plan(p: SolverParams, plan_xy: jax.Array, n_valid: jax.Array, ego_
         sy = y0w + sph * sxr + cph * syr
         return LocalPlan(coeffs, x_mid, x_scale, gx_w, gy_w, sx, sy)
 
-    coeffs, x_mid, x_scale = polyfit_scaled(x_w, y_w, p.poly_order)
+    coeffs, x_mid, x_scale = polyfit_scaled(x_w, y_w, p.poly_order, weights=fit_w)
     y_fit = polyval_scaled(coeffs, x_mid, x_scale, x_w)
 
     # densified table: n samples from x_w[0] stepping (x_w[-1]-x_w[0])/n

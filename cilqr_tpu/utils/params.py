@@ -100,6 +100,11 @@ class SolverParams:
     # on north/south roads.  Required for routes with vertical legs (e.g.
     # the `long` scenario loop); off by default for reference parity.
     chord_frame_fit: bool = False
+    # Exact end-of-plan window shrink (LocalPlanner.cpp:51-58): weight the
+    # repeated tail rows out of the polyfit instead of letting them
+    # over-weight the final waypoint.  Off by default (benign divergence
+    # only in the final metres of the route).
+    exact_end_shrink: bool = False
     # lax.scan unroll factor for the Riccati/rollout scans (measured neutral
     # on v5e at B=1024 — kept for experimentation; the real fast path is the
     # fused Pallas backward kernel in ops/riccati_pallas.py)
