@@ -9,7 +9,10 @@ barrier), batched via vmap.  Baseline target: >= 1000 solves/s on a v5e-8;
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...extras}
 
-Env knobs: BENCH_BATCH (default 4096), BENCH_ITERS (default 10),
+Env knobs: BENCH_BATCH (default 32768 — the axon tunnel's ~1 ms/dispatch
+overhead is flat in B, so headline throughput wants wide batches; the
+32k-scenario batch still solves in ~39 ms, inside the 0.1 s replanning
+budget), BENCH_ITERS (default 10),
 BENCH_PATH ("mega" (default) = fully-fused LM-iteration kernel
 (ops/lm_pallas), "fused" = XLA derivatives + Pallas Riccati kernel,
 "vmap" = reference vmap path).
@@ -35,7 +38,7 @@ def main():
     from cilqr_tpu.parallel import batch as pbatch
     from cilqr_tpu.utils.params import SolverParams
 
-    B = int(os.environ.get("BENCH_BATCH", "4096"))
+    B = int(os.environ.get("BENCH_BATCH", "32768"))
     iters = int(os.environ.get("BENCH_ITERS", "10"))
     path = os.environ.get("BENCH_PATH", "mega")
 

@@ -40,6 +40,13 @@ class LocalPlan(NamedTuple):
     # densified sample table used by find_closest_point (Constraints.cpp:28-42)
     sample_x: jax.Array  # (n_samples,)
     sample_y: jax.Array  # (n_samples,)
+    # sample-table generator parameters [x0r, dr, ox, oy, cph, sph]: the
+    # table is sx = ox + cph*sxr - sph*syr, sy = oy + sph*sxr + cph*syr with
+    # sxr_s = x0r + dr*s, syr_s = poly(sxr_s).  Global-frame fits use the
+    # identity frame (ox=oy=sph=0, cph=1).  Lets the fused kernel
+    # (ops/lm_pallas) regenerate the table in VMEM from the 6 coefficients
+    # instead of hauling the (B, n_samples, 2) field through HBM.
+    samp_frame: jax.Array  # (6,)
 
 
 def closest_point_index(plan_xy: jax.Array, n_valid: jax.Array, point: jax.Array) -> jax.Array:
@@ -215,7 +222,8 @@ def get_local_plan(p: SolverParams, plan_xy: jax.Array, n_valid: jax.Array, ego_
         syr = polyval_scaled(coeffs, x_mid, x_scale, sxr)
         sx = x0w + cph * sxr - sph * syr
         sy = y0w + sph * sxr + cph * syr
-        return LocalPlan(coeffs, x_mid, x_scale, gx_w, gy_w, sx, sy)
+        frame = jnp.stack([xr[0], (xr[-1] - xr[0]) / n, x0w, y0w, cph, sph])
+        return LocalPlan(coeffs, x_mid, x_scale, gx_w, gy_w, sx, sy, frame)
 
     coeffs, x_mid, x_scale = polyfit_scaled(x_w, y_w, p.poly_order, weights=fit_w)
     y_fit = polyval_scaled(coeffs, x_mid, x_scale, x_w)
@@ -226,7 +234,9 @@ def get_local_plan(p: SolverParams, plan_xy: jax.Array, n_valid: jax.Array, ego_
     sx = x_w[0] + dx * jnp.arange(n)
     sy = polyval_scaled(coeffs, x_mid, x_scale, sx)
 
-    return LocalPlan(coeffs, x_mid, x_scale, x_w, y_fit, sx, sy)
+    zero = jnp.zeros_like(x_mid)
+    frame = jnp.stack([x_w[0], dx, zero, zero, jnp.ones_like(x_mid), zero])
+    return LocalPlan(coeffs, x_mid, x_scale, x_w, y_fit, sx, sy, frame)
 
 
 def find_closest_points(plan: LocalPlan, states: jax.Array) -> jax.Array:

@@ -160,11 +160,17 @@ def _padd(a, b):
     return a + b
 
 
-def _iter_kernel(p: SolverParams, S: int, M: int, K: int, H: int, W: int,
-                 has_obs: bool, has_unc: bool, refs):
-    (sxy_ref, X_ref, U_ref, lamb_ref, obs_ref, m4_ref, scl_ref,
-     Xn_ref, Un_ref, J_ref, k_ref, K_ref) = refs
+def _run_iteration(p: SolverParams, S: int, M: int, K: int, H: int, W: int,
+                   has_obs: bool, has_unc: bool,
+                   sxy_ref, obs_ref, m4_ref, scl_ref,
+                   X_ref, U_ref, lamb,
+                   Xn_ref, Un_ref, k_ref, K_ref):
+    """One LM iteration on refs: derivatives + backward Riccati (k/K into
+    scratch) + closed-loop forward rollout into (Xn_ref, Un_ref).  Returns
+    the acceptance-cost plane J of the *input* trajectory (iLQR.cpp:217).
 
+    Shared by the one-iteration kernel (``_iter_kernel``) and the full
+    in-kernel LM loop (``_opt_kernel``)."""
     f32 = jnp.float32
     N = p.horizon
     dt = float(p.timestep)
@@ -182,8 +188,6 @@ def _iter_kernel(p: SolverParams, S: int, M: int, K: int, H: int, W: int,
     wunc = float(p.w_uncertainty)
     q1u, q2u = float(p.q1_uncertainty), float(p.q2_uncertainty)
     efront, erear = float(p.ego_front), float(p.ego_rear)
-
-    lamb = lamb_ref[0, 0]
 
     def closest_point(x0, x1):
         """Tournament argmin over the densified sample table
@@ -501,9 +505,127 @@ def _iter_kernel(p: SolverParams, S: int, M: int, K: int, H: int, W: int,
     Vxx0 = tuple(Vxx_seed[r][cc] for r in range(4) for cc in range(4))
 
     _, _, Jacc = jax.lax.fori_loop(0, N, backward_body, (Vx0, Vxx0, zero))
-    J_ref[0, 0] = Jacc
 
     riccati_pallas._fwd_kernel(N, p, (X_ref, U_ref, k_ref, K_ref, Xn_ref, Un_ref))
+    return Jacc
+
+
+def _iter_kernel(p: SolverParams, S: int, M: int, K: int, H: int, W: int,
+                 has_obs: bool, has_unc: bool, refs):
+    (sxy_ref, X_ref, U_ref, lamb_ref, obs_ref, m4_ref, scl_ref,
+     Xn_ref, Un_ref, J_ref, k_ref, K_ref) = refs
+    J_ref[0, 0] = _run_iteration(
+        p, S, M, K, H, W, has_obs, has_unc,
+        sxy_ref, obs_ref, m4_ref, scl_ref,
+        X_ref, U_ref, lamb_ref[0, 0],
+        Xn_ref, Un_ref, k_ref, K_ref,
+    )
+
+
+def _opt_kernel(p: SolverParams, S: int, M: int, K: int, H: int, W: int,
+                has_obs: bool, has_unc: bool, refs):
+    """The ENTIRE LM loop (iLQR.cpp:211-239) in one kernel invocation per
+    tile: current X/U live in the output refs, the proposal in scratch, and
+    the accept/reject state (J, lambda, iteration count, done mask) rides
+    the fori_loop carry as (8, 128) planes.  Per-iteration HBM traffic is
+    zero; a tile whose lanes all converge skips the remaining iterations'
+    heavy body (pl.when), so early exit is per-tile rather than global."""
+    (fit_ref, X0_ref, U0_ref, obs_ref, m4_ref, scl_ref,
+     X_ref, U_ref, J_ref, lamb_ref, it_ref,
+     sxy_ref, Xp_ref, Up_ref, k_ref, K_ref, Jn_ref, done_ref) = refs
+
+    f32 = jnp.float32
+    N = p.horizon
+
+    # Regenerate the densified closest-point table (Constraints.cpp:28-42)
+    # in VMEM from the fit parameters — op-for-op the math of
+    # reference_path.get_local_plan's tail (incl. polyval_scaled's Horner
+    # order and the chord-frame rotate-back), so interpret-mode parity with
+    # the vmap path holds bit-for-bit.  Saves the (B, S, 2) sample field's
+    # HBM round trip + tile transpose.
+    ncoef = p.poly_order + 1
+    x_mid = fit_ref[0, ncoef, 0]
+    x_scale = fit_ref[0, ncoef + 1, 0]
+    x0r = fit_ref[0, ncoef + 2, 0]
+    dr = fit_ref[0, ncoef + 3, 0]
+    ox = fit_ref[0, ncoef + 4, 0]
+    oy = fit_ref[0, ncoef + 5, 0]
+    cph = fit_ref[0, ncoef + 6, 0]
+    sph = fit_ref[0, ncoef + 7, 0]
+    cs = [fit_ref[0, i, 0] for i in range(ncoef)]
+    zero_plane = jnp.zeros((_TS, _TL), f32)
+    for s in range(S):
+        sxr = x0r + dr * float(s)
+        t = (sxr - x_mid) / x_scale
+        r = zero_plane
+        for c in reversed(cs):
+            r = r * t + c
+        sxy_ref[0, s, 0] = ox + cph * sxr - sph * r
+        sxy_ref[0, s, 1] = oy + sph * sxr + cph * r
+
+    for j in range(N + 1):
+        for i in range(4):
+            X_ref[0, j, i] = X0_ref[0, j, i]
+    for j in range(N):
+        for i in range(2):
+            U_ref[0, j, i] = U0_ref[0, j, i]
+
+    plane = lambda v, dt_=f32: jnp.full((_TS, _TL), v, dt_)
+
+    def lm_body(_, carry):
+        J_old, lamb, it, done = carry
+        # Skip the heavy body once every lane in this tile has converged —
+        # the masked carry update below is then a no-op.
+        active = jnp.max(1.0 - done) > 0.5
+
+        @pl.when(active)
+        def _():
+            Jn_ref[0, 0] = _run_iteration(
+                p, S, M, K, H, W, has_obs, has_unc,
+                sxy_ref, obs_ref, m4_ref, scl_ref,
+                X_ref, U_ref, lamb,
+                Xp_ref, Up_ref, k_ref, K_ref,
+            )
+
+        # Same update order as the XLA loop (fused_optimize fallback) for
+        # bit parity: accept -> trajectory merge -> lambda -> stop -> masks.
+        J_new = Jn_ref[0, 0]
+        accept = J_new < J_old
+        upd = done < 0.5
+        take = jnp.logical_and(upd, accept)
+        for j in range(N + 1):
+            for i in range(4):
+                X_ref[0, j, i] = jnp.where(take, Xp_ref[0, j, i], X_ref[0, j, i])
+        for j in range(N):
+            for i in range(2):
+                U_ref[0, j, i] = jnp.where(take, Up_ref[0, j, i], U_ref[0, j, i])
+        lamb_n = jnp.where(accept, lamb / p.lamb_factor, lamb * p.lamb_factor)
+        # stop as f32 planes — Mosaic can't select_n on i1 *data* vectors
+        stop = jnp.where(
+            accept,
+            jnp.where(jnp.abs(J_new - J_old) < p.tolerance, 1.0, 0.0),
+            jnp.where(lamb_n > p.lamb_max, 1.0, 0.0),
+        )
+        J_o = jnp.where(upd, J_new, J_old)
+        lamb_o = jnp.where(upd, lamb_n, lamb)
+        it_o = jnp.where(upd, it + 1, it)
+        done_o = jnp.maximum(done, jnp.where(upd, stop, 0.0))
+        return (J_o, lamb_o, it_o, done_o)
+
+    # Materialize the initial carries through VMEM so the loop carry enters
+    # with a loaded (tiled) vector layout — Mosaic rejects splat-constant
+    # (replicated) initial carries against the body's tiled outputs.
+    J_ref[0, 0] = plane(jnp.finfo(f32).max)
+    lamb_ref[0, 0] = plane(p.lamb_init)
+    it_ref[0, 0] = jnp.zeros((_TS, _TL), jnp.int32)
+    done_ref[0, 0] = plane(0.0)
+    carry0 = (J_ref[0, 0], lamb_ref[0, 0], it_ref[0, 0], done_ref[0, 0])
+    J_fin, lamb_fin, it_fin, _ = jax.lax.fori_loop(
+        0, p.max_iterations, lm_body, carry0
+    )
+    J_ref[0, 0] = J_fin
+    lamb_ref[0, 0] = lamb_fin
+    it_ref[0, 0] = it_fin
 
 
 def _auto_interpret(interpret):
@@ -578,6 +700,78 @@ def fused_iteration(p: SolverParams, world: WorldPrep, sxy_t, X_t, U_t, lamb_t,
     return Xn_t, Un_t, J_t[:, 0]
 
 
+def _fused_optimize_call(p: SolverParams, world: WorldPrep, fit_t, X0_t, U0_t,
+                         interpret=None):
+    """pallas_call wrapper for ``_opt_kernel`` (whole LM loop per tile).
+
+    Args in kernel tile layout (f32): fit_t (G, poly_order+9, 1, 8, 128)
+    (coeffs + basis + sample-frame params — the sample table is regenerated
+    in VMEM); X0_t (G, N+1, 4, 8, 128); U0_t (G, N, 2, 8, 128).
+    Returns (X_t, U_t, J (G, 8, 128), lamb (G, 8, 128), it (G, 8, 128) i32)."""
+    G = X0_t.shape[0]
+    N = p.horizon
+    S = p.n_closest_samples
+    M = world.obs.shape[0] // 6
+    K = world.m4.shape[0] // 4
+    H, W = world.hw
+    f32 = jnp.float32
+    interpret = _auto_interpret(interpret)
+
+    kern = functools.partial(
+        _opt_kernel, p, S, M, K, H, W, world.has_obs, world.has_unc
+    )
+
+    def kernel_entry(fit_r, X0_r, U0_r, obs_r, m4_r, scl_r,
+                     X_r, U_r, J_r, lamb_r, it_r,
+                     sxy_s, Xp_s, Up_s, k_s, K_s, Jn_s, done_s):
+        kern((fit_r, X0_r, U0_r, obs_r, m4_r, scl_r,
+              X_r, U_r, J_r, lamb_r, it_r,
+              sxy_s, Xp_s, Up_s, k_s, K_s, Jn_s, done_s))
+
+    spec = lambda steps, c: pl.BlockSpec(
+        (1, steps, c, _TS, _TL), lambda g: (g, 0, 0, 0, 0), memory_space=pltpu.VMEM
+    )
+    plane_spec = pl.BlockSpec(
+        (1, 1, _TS, _TL), lambda g: (g, 0, 0, 0), memory_space=pltpu.VMEM
+    )
+    shared = lambda arr, space: pl.BlockSpec(
+        arr.shape, lambda g: (0,) * arr.ndim, memory_space=space
+    )
+
+    C = fit_t.shape[1]
+    X_t, U_t, J_t, lamb_t, it_t = pl.pallas_call(
+        kernel_entry,
+        grid=(G,),
+        in_specs=[
+            spec(C, 1),
+            spec(N + 1, 4),
+            spec(N, 2),
+            shared(world.obs, pltpu.SMEM),
+            shared(world.m4, pltpu.VMEM),
+            shared(world.scl, pltpu.SMEM),
+        ],
+        out_specs=[spec(N + 1, 4), spec(N, 2), plane_spec, plane_spec, plane_spec],
+        out_shape=[
+            jax.ShapeDtypeStruct((G, N + 1, 4, _TS, _TL), f32),
+            jax.ShapeDtypeStruct((G, N, 2, _TS, _TL), f32),
+            jax.ShapeDtypeStruct((G, 1, _TS, _TL), f32),
+            jax.ShapeDtypeStruct((G, 1, _TS, _TL), f32),
+            jax.ShapeDtypeStruct((G, 1, _TS, _TL), jnp.int32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((1, S, 2, _TS, _TL), f32),
+            pltpu.VMEM((1, N + 1, 4, _TS, _TL), f32),
+            pltpu.VMEM((1, N, 2, _TS, _TL), f32),
+            pltpu.VMEM((1, N, 2, _TS, _TL), f32),
+            pltpu.VMEM((1, N, 8, _TS, _TL), f32),
+            pltpu.VMEM((1, 1, _TS, _TL), f32),
+            pltpu.VMEM((1, 1, _TS, _TL), f32),
+        ],
+        interpret=interpret,
+    )(fit_t, X0_t, U0_t, world.obs, world.m4, world.scl)
+    return X_t, U_t, J_t[:, 0], lamb_t[:, 0], it_t[:, 0]
+
+
 def fused_optimize(
     p: SolverParams,
     plans,
@@ -586,10 +780,14 @@ def fused_optimize(
     obstacles=None,
     unc_map=None,
     interpret=None,
+    inkernel_loop: bool = True,
 ):
     """LM loop (iLQR.cpp:211-239 semantics, per-lane masks) carried entirely
-    in kernel tile layout — one fused kernel call per iteration, XLA does
-    only the accept/reject bookkeeping.
+    in kernel tile layout.  Default: the whole loop runs inside ONE kernel
+    invocation per tile (``_opt_kernel``) — zero per-iteration HBM traffic
+    and per-tile early exit.  ``inkernel_loop=False`` keeps the previous
+    one-kernel-call-per-iteration form with XLA accept/reject bookkeeping
+    (same numerics, used as a cross-check).
 
     Same signature/return as ``solver_batched.batched_optimize``."""
     B = x0s.shape[0]
@@ -601,10 +799,30 @@ def fused_optimize(
     X0 = jax.vmap(lambda e, u: dynamics.rollout(p, e, u))(x0s, U_init)
     X_t = _to_tiles(X0.astype(f32), B)
     U_t = _to_tiles(U_init.astype(f32), B)
-    sxy = jnp.stack([plans.sample_x, plans.sample_y], axis=-1)  # (B, S, 2)
-    sxy_t = _to_tiles(sxy.astype(f32), B)
     world = prep_world(p, obstacles, unc_map, f32)
 
+    if inkernel_loop:
+        # (B, poly_order+9) fit payload: the kernel regenerates the sample
+        # table in VMEM, so the (B, S, 2) field never touches HBM.
+        fit = jnp.concatenate(
+            [
+                plans.coeffs,
+                plans.x_mid[:, None],
+                plans.x_scale[:, None],
+                plans.samp_frame,
+            ],
+            axis=-1,
+        ).astype(f32)
+        fit_t = _to_tiles(fit[:, :, None], B)  # (G, C, 1, 8, 128)
+        X_t, U_t, J, lamb, it = _fused_optimize_call(
+            p, world, fit_t, X_t, U_t, interpret
+        )
+        X = _from_tiles(X_t, B, (4,))
+        U = _from_tiles(U_t, B, (2,))
+        return X, U, it.reshape(B), J.reshape(B), lamb.reshape(B)
+
+    sxy = jnp.stack([plans.sample_x, plans.sample_y], axis=-1)  # (B, S, 2)
+    sxy_t = _to_tiles(sxy.astype(f32), B)
     plane = lambda v, dt_=f32: jnp.full((G, _TS, _TL), v, dt_)
     big = plane(jnp.finfo(f32).max)
 

@@ -122,6 +122,23 @@ def test_prep_unc_map_corners_and_frame(params):
     np.testing.assert_allclose(s[6], 4.0, rtol=1e-6)  # 1/res
 
 
+def test_inkernel_loop_matches_per_iteration_form(params, global_plan):
+    """The whole-LM-loop kernel (_opt_kernel) vs the one-kernel-call-per-
+    iteration form with XLA accept/reject bookkeeping: identical iteration
+    counts and trajectories (same update order by construction)."""
+    B = riccati_pallas.TILE
+    p, plan, n, egos, U0 = _setup(params, global_plan, B, horizon=6,
+                                  max_iterations=4, seed=23)
+    plans = jax.vmap(lambda e: rp.get_local_plan(p, plan, n, e))(egos)
+    a = lm_pallas.fused_optimize(p, plans, egos, U0, inkernel_loop=True)
+    b = lm_pallas.fused_optimize(p, plans, egos, U0, inkernel_loop=False)
+    for xa, xb, name in zip(a, b, ("X", "U", "it", "J", "lamb")):
+        np.testing.assert_allclose(
+            np.asarray(xa), np.asarray(xb), rtol=1e-6, atol=1e-6,
+            err_msg=name,
+        )
+
+
 def test_mega_arbitrary_batch_padding(params, global_plan):
     """Non-tile batch sizes pad internally and slice back."""
     B = 100
