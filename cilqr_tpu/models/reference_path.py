@@ -40,13 +40,23 @@ class LocalPlan(NamedTuple):
     # densified sample table used by find_closest_point (Constraints.cpp:28-42)
     sample_x: jax.Array  # (n_samples,)
     sample_y: jax.Array  # (n_samples,)
-    # sample-table generator parameters [x0r, dr, ox, oy, cph, sph]: the
-    # table is sx = ox + cph*sxr - sph*syr, sy = oy + sph*sxr + cph*syr with
-    # sxr_s = x0r + dr*s, syr_s = poly(sxr_s).  Global-frame fits use the
-    # identity frame (ox=oy=sph=0, cph=1).  Lets the fused kernel
-    # (ops/lm_pallas) regenerate the table in VMEM from the 6 coefficients
-    # instead of hauling the (B, n_samples, 2) field through HBM.
-    samp_frame: jax.Array  # (6,)
+    # local-frame sample table for the tournament argmin (see
+    # find_closest_points): the query-frame transform of (sample_x,
+    # sample_y) plus the per-sample squared norm.  Computed in
+    # _local_channels so the fused kernel (ops/lm_pallas) reproduces the
+    # exact same bits when it regenerates the table in VMEM.
+    sample_xl: jax.Array  # (n_samples,)
+    sample_yl: jax.Array  # (n_samples,)
+    sample_r: jax.Array   # (n_samples,) sample_xl^2 + sample_yl^2
+    # sample-table generator parameters [x0r, dr, ox, oy, cph, sph, qx, qy]:
+    # the table is sx = ox + cph*sxr - sph*syr, sy = oy + sph*sxr + cph*syr
+    # with sxr_s = x0r + dr*s, syr_s = poly(sxr_s); (qx, qy, cph, sph) is
+    # the query frame of _local_channels.  Global-frame fits use the
+    # identity rotation (ox=oy=sph=0, cph=1) with the window start as the
+    # query origin.  Lets the fused kernel (ops/lm_pallas) regenerate the
+    # table in VMEM from these parameters instead of hauling the
+    # (B, n_samples, 3) field through HBM.
+    samp_frame: jax.Array  # (8,)
 
 
 def closest_point_index(plan_xy: jax.Array, n_valid: jax.Array, point: jax.Array) -> jax.Array:
@@ -151,6 +161,37 @@ def polyval_scaled(coeffs: jax.Array, x_mid: jax.Array, x_scale: jax.Array, x: j
     return r
 
 
+def polyval_scaled_inv(coeffs: jax.Array, x_mid: jax.Array, inv_scale: jax.Array, x: jax.Array) -> jax.Array:
+    """Horner with a precomputed reciprocal scale — used for the densified
+    sample table so the fused kernel's per-step 3-candidate refine
+    (ops/lm_pallas) multiplies instead of dividing; the kernel mirrors this
+    op order bit-for-bit."""
+    t = (x - x_mid) * inv_scale
+    r = jnp.zeros_like(t)
+    for c in coeffs[::-1]:
+        r = r * t + c
+    return r
+
+
+def _local_channels(sx, sy, qx, qy, cph, sph):
+    """Query-frame sample channels for the expanded-form distance tournament.
+
+    ``d(p, s) = |p_l|^2 + r_s - 2 (x_l*sxl + y_l*syl)`` with both points
+    transformed into a window-local frame keeps the f32 rounding of the
+    expanded form ~1e-4 m^2 (vs ~0.04 m^2 in raw CARLA-scale global
+    coordinates, where it would rival the adjacent-sample distance gap).
+    The expression order here is mirrored op-for-op by the fused kernel's
+    in-VMEM table regeneration (ops/lm_pallas) so both paths pick identical
+    tournament winners.
+    """
+    dx0 = sx - qx
+    dy0 = sy - qy
+    sxl = cph * dx0 + sph * dy0
+    syl = cph * dy0 - sph * dx0
+    r = sxl * sxl + syl * syl
+    return sxl, syl, r
+
+
 def get_local_plan(p: SolverParams, plan_xy: jax.Array, n_valid: jax.Array, ego_state: jax.Array) -> LocalPlan:
     """Window the global plan at the ego pose and fit the local polynomial.
 
@@ -219,11 +260,15 @@ def get_local_plan(p: SolverParams, plan_xy: jax.Array, n_valid: jax.Array, ego_
 
         n = p.n_closest_samples
         sxr = xr[0] + (xr[-1] - xr[0]) / n * jnp.arange(n)
-        syr = polyval_scaled(coeffs, x_mid, x_scale, sxr)
+        syr = polyval_scaled_inv(coeffs, x_mid, 1.0 / x_scale, sxr)
         sx = x0w + cph * sxr - sph * syr
         sy = y0w + sph * sxr + cph * syr
-        frame = jnp.stack([xr[0], (xr[-1] - xr[0]) / n, x0w, y0w, cph, sph])
-        return LocalPlan(coeffs, x_mid, x_scale, gx_w, gy_w, sx, sy, frame)
+        sxl, syl, sr = _local_channels(sx, sy, x0w, y0w, cph, sph)
+        frame = jnp.stack(
+            [xr[0], (xr[-1] - xr[0]) / n, x0w, y0w, cph, sph, x0w, y0w]
+        )
+        return LocalPlan(coeffs, x_mid, x_scale, gx_w, gy_w, sx, sy,
+                         sxl, syl, sr, frame)
 
     coeffs, x_mid, x_scale = polyfit_scaled(x_w, y_w, p.poly_order, weights=fit_w)
     y_fit = polyval_scaled(coeffs, x_mid, x_scale, x_w)
@@ -232,11 +277,14 @@ def get_local_plan(p: SolverParams, plan_xy: jax.Array, n_valid: jax.Array, ego_
     n = p.n_closest_samples
     dx = (x_w[-1] - x_w[0]) / n
     sx = x_w[0] + dx * jnp.arange(n)
-    sy = polyval_scaled(coeffs, x_mid, x_scale, sx)
+    sy = polyval_scaled_inv(coeffs, x_mid, 1.0 / x_scale, sx)
 
     zero = jnp.zeros_like(x_mid)
-    frame = jnp.stack([x_w[0], dx, zero, zero, jnp.ones_like(x_mid), zero])
-    return LocalPlan(coeffs, x_mid, x_scale, x_w, y_fit, sx, sy, frame)
+    one = jnp.ones_like(x_mid)
+    sxl, syl, sr = _local_channels(sx, sy, x_w[0], y_w[0], one, zero)
+    frame = jnp.stack([x_w[0], dx, zero, zero, one, zero, x_w[0], y_w[0]])
+    return LocalPlan(coeffs, x_mid, x_scale, x_w, y_fit, sx, sy,
+                     sxl, syl, sr, frame)
 
 
 def find_closest_points(plan: LocalPlan, states: jax.Array) -> jax.Array:
@@ -248,18 +296,60 @@ def find_closest_points(plan: LocalPlan, states: jax.Array) -> jax.Array:
       (N, 2) (or (2,)) closest [x, y] on the sample table.
     """
     single = states.ndim == 1
-    S = jnp.atleast_2d(states)
-    dx = S[:, 0:1] - plan.sample_x[None, :]
-    dy = S[:, 1:2] - plan.sample_y[None, :]
-    d = dx * dx + dy * dy  # (N, n_samples)
-    j = jnp.argmin(d, axis=-1)
-    # fetch the winning sample with a one-hot matmul: XLA's per-row gather
-    # is ~5x slower than the MXU dot on TPU.  HIGHEST precision makes the
-    # dot exact — at the MXU's default bf16 operand truncation the fetched
+    Q = jnp.atleast_2d(states)
+    S = plan.sample_x.shape[0]
+
+    # Tournament over the expanded local-frame form d_rel = r_s - 2 p_l.s_l
+    # (the |p_l|^2 term is constant per query): 2 multiply-adds per sample
+    # instead of the 4-op (dx^2 + dy^2) evaluation.  Selection only — the
+    # winner is re-checked exactly below.  Expression order mirrors the
+    # fused kernel's closest_point (ops/lm_pallas) bit-for-bit.
+    qx, qy = plan.samp_frame[..., 6], plan.samp_frame[..., 7]
+    cph, sph = plan.samp_frame[..., 4], plan.samp_frame[..., 5]
+    dx0 = Q[:, 0] - qx
+    dy0 = Q[:, 1] - qy
+    xl = cph * dx0 + sph * dy0
+    yl = cph * dy0 - sph * dx0
+    n0 = -2.0 * xl
+    n1 = -2.0 * yl
+    d = (
+        plan.sample_r[None, :] + n0[:, None] * plan.sample_xl[None, :]
+    ) + n1[:, None] * plan.sample_yl[None, :]
+    j = jnp.argmin(d, axis=-1)  # first-min tie-break
+
+    # Exact refine: the expanded form's f32 rounding (~1e-4 m^2 in the
+    # local frame) can flip the winner only between near-equidistant
+    # ADJACENT samples (the non-adjacent distance gap is >= O(step^2) >>
+    # the rounding) — so comparing {j-1, j, j+1} with the reference's exact
+    # global (dx^2 + dy^2) restores Constraints.cpp:28-56 argmin semantics.
+    # Fetch candidates with a one-hot matmul: XLA's per-row gather is ~5x
+    # slower than the MXU dot on TPU.  HIGHEST precision makes the dot
+    # exact — at the MXU's default bf16 operand truncation the fetched
     # coordinates round by up to ~0.25 m at CARLA-scale |x| ~ 100 m.
+    cand = jnp.stack(
+        [jnp.maximum(j - 1, 0), j, jnp.minimum(j + 1, S - 1)], axis=-1
+    )  # (N, 3)
     table = jnp.stack([plan.sample_x, plan.sample_y], axis=-1)  # (S, 2)
-    oh = jax.nn.one_hot(j, d.shape[-1], dtype=S.dtype)
-    out = jnp.matmul(oh, table, precision=jax.lax.Precision.HIGHEST)
+    oh = jax.nn.one_hot(cand, S, dtype=Q.dtype)  # (N, 3, S)
+    pts = jnp.matmul(oh, table, precision=jax.lax.Precision.HIGHEST)  # (N, 3, 2)
+    dxg = Q[:, 0:1] - pts[..., 0]
+    dyg = Q[:, 1:2] - pts[..., 1]
+    dg = dxg * dxg + dyg * dyg  # (N, 3)
+
+    # earliest-min merge (strict <, candidates in index order) — mirrors
+    # the kernel's tournament merge so tie-breaking matches exactly
+    def merge(a, b):
+        m = b[0] < a[0]
+        return (
+            jnp.where(m, b[0], a[0]),
+            jnp.where(m, b[1], a[1]),
+            jnp.where(m, b[2], a[2]),
+        )
+
+    best = (dg[:, 0], pts[:, 0, 0], pts[:, 0, 1])
+    best = merge(best, (dg[:, 1], pts[:, 1, 0], pts[:, 1, 1]))
+    best = merge(best, (dg[:, 2], pts[:, 2, 0], pts[:, 2, 1]))
+    out = jnp.stack([best[1], best[2]], axis=-1)
     return out[0] if single else out
 
 

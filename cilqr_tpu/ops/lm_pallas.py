@@ -9,7 +9,9 @@ broadcast, and the uncertainty-map one-hot matmul.  This kernel fuses the
 
   backward scan (j = N-1 … 0), derivatives built in registers per step:
     * closest point: 200-sample tournament argmin over the per-scenario
-      densified plan table (Constraints.cpp:24-59), VMEM-resident;
+      densified plan table (Constraints.cpp:24-59), VMEM-resident — in the
+      expanded local-frame form (2 multiply-adds/sample) with an exact
+      3-candidate global refine (see reference_path.find_closest_points);
     * tracking + control barrier derivatives (Constraints.cpp:86-175),
       with the state-dependent yaw-rate bounds;
     * obstacle ellipse barriers (Obstacle.cpp:39-112) from per-(obstacle,
@@ -160,9 +162,144 @@ def _padd(a, b):
     return a + b
 
 
+class _FitP(NamedTuple):
+    """Per-lane fit-parameter planes read from the fit payload ref.
+
+    cs: list of poly_order+1 coefficient planes; the rest mirror
+    LocalPlan.samp_frame (reference_path.py): generator frame
+    (x0r, dr, ox, oy, cph, sph) + query frame origin (qx, qy).
+    """
+
+    cs: list
+    x_mid: jax.Array
+    inv_xscale: jax.Array  # 1 / x_scale, one divide per solve
+    x0r: jax.Array
+    dr: jax.Array
+    ox: jax.Array
+    oy: jax.Array
+    cph: jax.Array
+    sph: jax.Array
+    qx: jax.Array
+    qy: jax.Array
+
+
+def _read_fitp(p: SolverParams, fit_ref) -> _FitP:
+    ncoef = p.poly_order + 1
+    v = lambda i: fit_ref[0, ncoef + i, 0]
+    return _FitP(
+        [fit_ref[0, i, 0] for i in range(ncoef)],
+        v(0), 1.0 / v(1), v(2), v(3), v(4), v(5), v(6), v(7), v(8), v(9),
+    )
+
+
+def _fit_payload(plans) -> jax.Array:
+    """(B, poly_order+11) f32 payload: coeffs + basis + samp_frame.
+
+    The kernel regenerates the densified sample table in VMEM from this,
+    so the (B, S, 3) sample field never touches HBM."""
+    return jnp.concatenate(
+        [
+            plans.coeffs,
+            plans.x_mid[:, None],
+            plans.x_scale[:, None],
+            plans.samp_frame,
+        ],
+        axis=-1,
+    ).astype(jnp.float32)
+
+
+def _gen_global_sample(fp: _FitP, s):
+    """Global-frame sample coords at (possibly dynamic) index plane/const s.
+
+    Op-for-op the math of reference_path.get_local_plan's table tail (incl.
+    polyval_scaled's Horner order and the rotate-back), so the result is
+    bit-identical to the vmap path's (sample_x, sample_y) entries."""
+    sxr = fp.x0r + fp.dr * s
+    t = (sxr - fp.x_mid) * fp.inv_xscale
+    r = jnp.zeros((_TS, _TL), jnp.float32)
+    for c in reversed(fp.cs):
+        r = r * t + c
+    sxg = fp.ox + fp.cph * sxr - fp.sph * r
+    syg = fp.oy + fp.sph * sxr + fp.cph * r
+    return sxg, syg
+
+
+def _gen_sample_table(S: int, fp: _FitP, sxy_ref):
+    """Regenerate the 3-channel local sample table (Constraints.cpp:28-42 +
+    reference_path._local_channels) in VMEM: [sxl, syl, r]."""
+    for s in range(S):
+        sxg, syg = _gen_global_sample(fp, float(s))
+        dx0 = sxg - fp.qx
+        dy0 = syg - fp.qy
+        sxl = fp.cph * dx0 + fp.sph * dy0
+        syl = fp.cph * dy0 - fp.sph * dx0
+        sxy_ref[0, s, 0] = sxl
+        sxy_ref[0, s, 1] = syl
+        sxy_ref[0, s, 2] = sxl * sxl + syl * syl
+
+
+def _make_closest_point(S: int, fp: _FitP, sxy_ref):
+    """closest_point(x0, x1) -> (cx, cy): tournament argmin over the
+    densified sample table (Constraints.cpp:28-56) in the expanded
+    local-frame form (2 multiply-adds per sample, (distance, index) carry),
+    then an exact global-frame {j-1, j, j+1} refine — see
+    reference_path.find_closest_points, mirrored op-for-op."""
+
+    def closest_point(x0, x1):
+        dx0 = x0 - fp.qx
+        dy0 = x1 - fp.qy
+        xl = fp.cph * dx0 + fp.sph * dy0
+        yl = fp.cph * dy0 - fp.sph * dx0
+        n0 = -2.0 * xl
+        n1 = -2.0 * yl
+
+        def cand(s):
+            d = (
+                sxy_ref[0, s, 2] + n0 * sxy_ref[0, s, 0]
+            ) + n1 * sxy_ref[0, s, 1]
+            return (d, float(s))
+
+        def merge(a, b):  # a is the earlier candidate; strict < keeps it
+            m = b[0] < a[0]
+            return (jnp.where(m, b[0], a[0]), jnp.where(m, b[1], a[1]))
+
+        best = None
+        CH = 8  # chunked tree: bounded live registers, log depth per chunk
+        for s0 in range(0, S, CH):
+            group = [cand(s) for s in range(s0, min(s0 + CH, S))]
+            while len(group) > 1:
+                group = [
+                    merge(group[i], group[i + 1]) if i + 1 < len(group) else group[i]
+                    for i in range(0, len(group), 2)
+                ]
+            best = group[0] if best is None else merge(best, group[0])
+        j = best[1]
+
+        def exact(s):
+            sxg, syg = _gen_global_sample(fp, s)
+            dxg = x0 - sxg
+            dyg = x1 - syg
+            return (dxg * dxg + dyg * dyg, sxg, syg)
+
+        def merge3(a, b):
+            m = b[0] < a[0]
+            return (
+                jnp.where(m, b[0], a[0]),
+                jnp.where(m, b[1], a[1]),
+                jnp.where(m, b[2], a[2]),
+            )
+
+        win = exact(jnp.maximum(j - 1.0, 0.0))
+        win = merge3(win, exact(j))
+        win = merge3(win, exact(jnp.minimum(j + 1.0, float(S - 1))))
+        return win[1], win[2]
+
+    return closest_point
+
+
 def _run_iteration(p: SolverParams, S: int, M: int, K: int, H: int, W: int,
-                   has_obs: bool, has_unc: bool,
-                   sxy_ref, obs_ref, m4_ref, scl_ref,
+                   has_obs: bool, has_unc: bool, max_unroll: int,
+                   closest_point, obs_ref, m4_ref, scl_ref,
                    X_ref, U_ref, lamb,
                    Xn_ref, Un_ref, k_ref, K_ref):
     """One LM iteration on refs: derivatives + backward Riccati (k/K into
@@ -188,36 +325,6 @@ def _run_iteration(p: SolverParams, S: int, M: int, K: int, H: int, W: int,
     wunc = float(p.w_uncertainty)
     q1u, q2u = float(p.q1_uncertainty), float(p.q2_uncertainty)
     efront, erear = float(p.ego_front), float(p.ego_rear)
-
-    def closest_point(x0, x1):
-        """Tournament argmin over the densified sample table
-        (Constraints.cpp:28-56).  Ordered pairwise merges with strict `<`
-        keep the earliest minimum — same tie-breaking as jnp.argmin."""
-
-        def cand(s):
-            sx = sxy_ref[0, s, 0]
-            sy = sxy_ref[0, s, 1]
-            dx = x0 - sx
-            dy = x1 - sy
-            return (dx * dx + dy * dy, sx, sy)
-
-        def merge(a, b):  # a is the earlier candidate
-            m = b[0] < a[0]
-            return (jnp.where(m, b[0], a[0]),
-                    jnp.where(m, b[1], a[1]),
-                    jnp.where(m, b[2], a[2]))
-
-        best = None
-        CH = 8  # chunked tree: bounded live registers, log depth per chunk
-        for s0 in range(0, S, CH):
-            group = [cand(s) for s in range(s0, min(s0 + CH, S))]
-            while len(group) > 1:
-                group = [
-                    merge(group[i], group[i + 1]) if i + 1 < len(group) else group[i]
-                    for i in range(0, len(group), 2)
-                ]
-            best = group[0] if best is None else merge(best, group[0])
-        return best[1], best[2]
 
     def unc_sample(x0, x1):
         """Bilinear costmap sample + map-frame gradient (models/uncertainty.py
@@ -504,26 +611,39 @@ def _run_iteration(p: SolverParams, S: int, M: int, K: int, H: int, W: int,
     ]
     Vxx0 = tuple(Vxx_seed[r][cc] for r in range(4) for cc in range(4))
 
-    _, _, Jacc = jax.lax.fori_loop(0, N, backward_body, (Vx0, Vxx0, zero))
+    # Unroll: same op sequence, 1/U the loop/dynamic-index overhead.
+    # max_unroll=1 in interpret mode (a bigger traced body only slows the
+    # CPU interpreter; results are identical either way).
+    U_f = next((u for u in (10, 5, 4, 3, 2) if u <= max_unroll and N % u == 0), 1)
 
-    riccati_pallas._fwd_kernel(N, p, (X_ref, U_ref, k_ref, K_ref, Xn_ref, Un_ref))
+    def backward_bodyU(t, carry):
+        for i in range(U_f):
+            carry = backward_body(U_f * t + i, carry)
+        return carry
+
+    _, _, Jacc = jax.lax.fori_loop(0, N // U_f, backward_bodyU, (Vx0, Vxx0, zero))
+
+    riccati_pallas._fwd_kernel(
+        N, p, (X_ref, U_ref, k_ref, K_ref, Xn_ref, Un_ref), max_unroll=max_unroll
+    )
     return Jacc
 
 
 def _iter_kernel(p: SolverParams, S: int, M: int, K: int, H: int, W: int,
-                 has_obs: bool, has_unc: bool, refs):
-    (sxy_ref, X_ref, U_ref, lamb_ref, obs_ref, m4_ref, scl_ref,
+                 has_obs: bool, has_unc: bool, max_unroll: int, refs):
+    (fit_ref, sxy_ref, X_ref, U_ref, lamb_ref, obs_ref, m4_ref, scl_ref,
      Xn_ref, Un_ref, J_ref, k_ref, K_ref) = refs
+    fp = _read_fitp(p, fit_ref)
     J_ref[0, 0] = _run_iteration(
-        p, S, M, K, H, W, has_obs, has_unc,
-        sxy_ref, obs_ref, m4_ref, scl_ref,
+        p, S, M, K, H, W, has_obs, has_unc, max_unroll,
+        _make_closest_point(S, fp, sxy_ref), obs_ref, m4_ref, scl_ref,
         X_ref, U_ref, lamb_ref[0, 0],
         Xn_ref, Un_ref, k_ref, K_ref,
     )
 
 
 def _opt_kernel(p: SolverParams, S: int, M: int, K: int, H: int, W: int,
-                has_obs: bool, has_unc: bool, refs):
+                has_obs: bool, has_unc: bool, max_unroll: int, refs):
     """The ENTIRE LM loop (iLQR.cpp:211-239) in one kernel invocation per
     tile: current X/U live in the output refs, the proposal in scratch, and
     the accept/reject state (J, lambda, iteration count, done mask) rides
@@ -538,30 +658,13 @@ def _opt_kernel(p: SolverParams, S: int, M: int, K: int, H: int, W: int,
     N = p.horizon
 
     # Regenerate the densified closest-point table (Constraints.cpp:28-42)
-    # in VMEM from the fit parameters — op-for-op the math of
-    # reference_path.get_local_plan's tail (incl. polyval_scaled's Horner
-    # order and the chord-frame rotate-back), so interpret-mode parity with
-    # the vmap path holds bit-for-bit.  Saves the (B, S, 2) sample field's
-    # HBM round trip + tile transpose.
-    ncoef = p.poly_order + 1
-    x_mid = fit_ref[0, ncoef, 0]
-    x_scale = fit_ref[0, ncoef + 1, 0]
-    x0r = fit_ref[0, ncoef + 2, 0]
-    dr = fit_ref[0, ncoef + 3, 0]
-    ox = fit_ref[0, ncoef + 4, 0]
-    oy = fit_ref[0, ncoef + 5, 0]
-    cph = fit_ref[0, ncoef + 6, 0]
-    sph = fit_ref[0, ncoef + 7, 0]
-    cs = [fit_ref[0, i, 0] for i in range(ncoef)]
-    zero_plane = jnp.zeros((_TS, _TL), f32)
-    for s in range(S):
-        sxr = x0r + dr * float(s)
-        t = (sxr - x_mid) / x_scale
-        r = zero_plane
-        for c in reversed(cs):
-            r = r * t + c
-        sxy_ref[0, s, 0] = ox + cph * sxr - sph * r
-        sxy_ref[0, s, 1] = oy + sph * sxr + cph * r
+    # in VMEM from the fit parameters — op-for-op the math of the vmap
+    # path (reference_path.get_local_plan tail + _local_channels), so
+    # interpret-mode parity holds bit-for-bit.  Saves the (B, S, 3) sample
+    # field's HBM round trip + tile transpose.
+    fp = _read_fitp(p, fit_ref)
+    _gen_sample_table(S, fp, sxy_ref)
+    closest_point = _make_closest_point(S, fp, sxy_ref)
 
     for j in range(N + 1):
         for i in range(4):
@@ -581,8 +684,8 @@ def _opt_kernel(p: SolverParams, S: int, M: int, K: int, H: int, W: int,
         @pl.when(active)
         def _():
             Jn_ref[0, 0] = _run_iteration(
-                p, S, M, K, H, W, has_obs, has_unc,
-                sxy_ref, obs_ref, m4_ref, scl_ref,
+                p, S, M, K, H, W, has_obs, has_unc, max_unroll,
+                closest_point, obs_ref, m4_ref, scl_ref,
                 X_ref, U_ref, lamb,
                 Xp_ref, Up_ref, k_ref, K_ref,
             )
@@ -635,13 +738,15 @@ def _auto_interpret(interpret):
     return interpret
 
 
-def fused_iteration(p: SolverParams, world: WorldPrep, sxy_t, X_t, U_t, lamb_t,
-                    interpret=None):
+def fused_iteration(p: SolverParams, world: WorldPrep, fit_t, sxy_t, X_t, U_t,
+                    lamb_t, interpret=None):
     """One full LM iteration (derivs + backward + forward + J) per tile.
 
     Args (tile layout, f32):
-      sxy_t: (G, S, 2, 8, 128); X_t: (G, N+1, 4, 8, 128);
-      U_t: (G, N, 2, 8, 128); lamb_t: (G, 1, 8, 128).
+      fit_t: (G, poly_order+11, 1, 8, 128) fit payload (``_fit_payload``);
+      sxy_t: (G, S, 3, 8, 128) local sample channels [sxl, syl, r];
+      X_t: (G, N+1, 4, 8, 128); U_t: (G, N, 2, 8, 128);
+      lamb_t: (G, 1, 8, 128).
     Returns (Xn_t, Un_t, J (G, 8, 128)) — J is the acceptance cost of the
     *input* trajectory (iLQR.cpp:217 semantics, see solver.optimize).
     """
@@ -655,12 +760,13 @@ def fused_iteration(p: SolverParams, world: WorldPrep, sxy_t, X_t, U_t, lamb_t,
     interpret = _auto_interpret(interpret)
 
     kern = functools.partial(
-        _iter_kernel, p, S, M, K, H, W, world.has_obs, world.has_unc
+        _iter_kernel, p, S, M, K, H, W, world.has_obs, world.has_unc,
+        1 if interpret else 10,
     )
 
-    def kernel_entry(sxy_r, X_r, U_r, lamb_r, obs_r, m4_r, scl_r,
+    def kernel_entry(fit_r, sxy_r, X_r, U_r, lamb_r, obs_r, m4_r, scl_r,
                      Xn_r, Un_r, J_r, k_s, K_s):
-        kern((sxy_r, X_r, U_r, lamb_r, obs_r, m4_r, scl_r,
+        kern((fit_r, sxy_r, X_r, U_r, lamb_r, obs_r, m4_r, scl_r,
               Xn_r, Un_r, J_r, k_s, K_s))
 
     spec = lambda steps, c: pl.BlockSpec(
@@ -673,11 +779,13 @@ def fused_iteration(p: SolverParams, world: WorldPrep, sxy_t, X_t, U_t, lamb_t,
         arr.shape, lambda g: (0,) * arr.ndim, memory_space=space
     )
 
+    C = fit_t.shape[1]
     Xn_t, Un_t, J_t = pl.pallas_call(
         kernel_entry,
         grid=(G,),
         in_specs=[
-            spec(S, 2),
+            spec(C, 1),
+            spec(S, 3),
             spec(N + 1, 4),
             spec(N, 2),
             plane_spec,
@@ -696,7 +804,7 @@ def fused_iteration(p: SolverParams, world: WorldPrep, sxy_t, X_t, U_t, lamb_t,
             pltpu.VMEM((1, N, 8, _TS, _TL), f32),
         ],
         interpret=interpret,
-    )(sxy_t, X_t, U_t, lamb_t, world.obs, world.m4, world.scl)
+    )(fit_t, sxy_t, X_t, U_t, lamb_t, world.obs, world.m4, world.scl)
     return Xn_t, Un_t, J_t[:, 0]
 
 
@@ -704,7 +812,7 @@ def _fused_optimize_call(p: SolverParams, world: WorldPrep, fit_t, X0_t, U0_t,
                          interpret=None):
     """pallas_call wrapper for ``_opt_kernel`` (whole LM loop per tile).
 
-    Args in kernel tile layout (f32): fit_t (G, poly_order+9, 1, 8, 128)
+    Args in kernel tile layout (f32): fit_t (G, poly_order+11, 1, 8, 128)
     (coeffs + basis + sample-frame params — the sample table is regenerated
     in VMEM); X0_t (G, N+1, 4, 8, 128); U0_t (G, N, 2, 8, 128).
     Returns (X_t, U_t, J (G, 8, 128), lamb (G, 8, 128), it (G, 8, 128) i32)."""
@@ -718,7 +826,8 @@ def _fused_optimize_call(p: SolverParams, world: WorldPrep, fit_t, X0_t, U0_t,
     interpret = _auto_interpret(interpret)
 
     kern = functools.partial(
-        _opt_kernel, p, S, M, K, H, W, world.has_obs, world.has_unc
+        _opt_kernel, p, S, M, K, H, W, world.has_obs, world.has_unc,
+        1 if interpret else 10,
     )
 
     def kernel_entry(fit_r, X0_r, U0_r, obs_r, m4_r, scl_r,
@@ -759,7 +868,7 @@ def _fused_optimize_call(p: SolverParams, world: WorldPrep, fit_t, X0_t, U0_t,
             jax.ShapeDtypeStruct((G, 1, _TS, _TL), jnp.int32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((1, S, 2, _TS, _TL), f32),
+            pltpu.VMEM((1, S, 3, _TS, _TL), f32),
             pltpu.VMEM((1, N + 1, 4, _TS, _TL), f32),
             pltpu.VMEM((1, N, 2, _TS, _TL), f32),
             pltpu.VMEM((1, N, 2, _TS, _TL), f32),
@@ -801,19 +910,9 @@ def fused_optimize(
     U_t = _to_tiles(U_init.astype(f32), B)
     world = prep_world(p, obstacles, unc_map, f32)
 
+    fit_t = _to_tiles(_fit_payload(plans)[:, :, None], B)  # (G, C, 1, 8, 128)
+
     if inkernel_loop:
-        # (B, poly_order+9) fit payload: the kernel regenerates the sample
-        # table in VMEM, so the (B, S, 2) field never touches HBM.
-        fit = jnp.concatenate(
-            [
-                plans.coeffs,
-                plans.x_mid[:, None],
-                plans.x_scale[:, None],
-                plans.samp_frame,
-            ],
-            axis=-1,
-        ).astype(f32)
-        fit_t = _to_tiles(fit[:, :, None], B)  # (G, C, 1, 8, 128)
         X_t, U_t, J, lamb, it = _fused_optimize_call(
             p, world, fit_t, X_t, U_t, interpret
         )
@@ -821,7 +920,9 @@ def fused_optimize(
         U = _from_tiles(U_t, B, (2,))
         return X, U, it.reshape(B), J.reshape(B), lamb.reshape(B)
 
-    sxy = jnp.stack([plans.sample_x, plans.sample_y], axis=-1)  # (B, S, 2)
+    sxy = jnp.stack(
+        [plans.sample_xl, plans.sample_yl, plans.sample_r], axis=-1
+    )  # (B, S, 3)
     sxy_t = _to_tiles(sxy.astype(f32), B)
     plane = lambda v, dt_=f32: jnp.full((G, _TS, _TL), v, dt_)
     big = plane(jnp.finfo(f32).max)
@@ -833,7 +934,7 @@ def fused_optimize(
     def body(carry):
         X, U, J_old, lamb, it, done = carry
         Xn, Un, J_new = fused_iteration(
-            p, world, sxy_t, X, U, lamb[:, None], interpret=interpret
+            p, world, fit_t, sxy_t, X, U, lamb[:, None], interpret=interpret
         )
         accept = J_new < J_old
         acc5 = accept[:, None, None, :, :]

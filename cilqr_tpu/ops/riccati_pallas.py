@@ -178,7 +178,7 @@ def _kernel(N: int, dt: float, refs):
     jax.lax.fori_loop(0, N, body, (Vx0, Vxx0))
 
 
-def _fwd_kernel(N: int, p, refs):
+def _fwd_kernel(N: int, p, refs, max_unroll: int = 1):
     """Closed-loop rollout (iLQR.cpp:68-86) chained after the backward
     recursion, entirely in VMEM: u = U + k + K (x - X); x' = step(x, u)
     with the Model.cpp:17-30 clamp semantics."""
@@ -220,7 +220,15 @@ def _fwd_kernel(N: int, p, refs):
         return (nx0, nx1, nx2, nx3)
 
     x_init = tuple(X_ref[0, 0, i] for i in range(4))
-    jax.lax.fori_loop(0, N, body, x_init)
+    # Unroll: same op sequence, 1/U the loop/dynamic-index overhead
+    U_f = next((u for u in (10, 5, 4, 3, 2) if u <= max_unroll and N % u == 0), 1)
+
+    def bodyU(t, x):
+        for i in range(U_f):
+            x = body(U_f * t + i, x)
+        return x
+
+    jax.lax.fori_loop(0, N // U_f, bodyU, x_init)
 
 
 def _to_tiles(x, B):
