@@ -1,0 +1,91 @@
+"""E2E drive on the real TPU: costmap -> uncertainty map -> receding solve.
+
+The /verify recipe for this repo (see .claude/skills/verify/SKILL.md): runs
+the full pipeline on the real chip and probes the documented edge cases.
+Run: PYTHONPATH=/root/repo python scripts/drive_e2e.py"""
+import dataclasses, time
+import numpy as np
+import jax, jax.numpy as jnp
+
+from cilqr_tpu.ops import costmap, gridmap
+from cilqr_tpu.models import reference_path as rp, solver, obstacles as obs_mod
+from cilqr_tpu.models.uncertainty import UncertaintyMap
+from cilqr_tpu.utils.params import CostmapParams, SolverParams
+
+print("device:", jax.devices()[0])
+f32 = jnp.float32
+p = dataclasses.replace(SolverParams(), horizon=50)
+cp = CostmapParams()
+
+# synthetic global map: free lane, occupied block north of it
+gm = np.zeros((256, 256), np.float32)
+gm[140:170, 80:140] = 100.0
+ggeom = gridmap.make_geom([130.0, -280.0], 0.5, 256, 256, dtype=f32)
+
+s = np.linspace(0.0, 119.0, 120)
+wp = np.stack([90.0 + s, -306.0 + 2.5 * np.sin(0.03 * s) + 0.01 * s], 1)
+plan, n = rp.pad_global_plan(p, wp, dtype=f32)
+ego = jnp.asarray([100.0, -305.6, 4.0, 0.05], f32)
+
+obs_xy = jnp.asarray([[112.0, -305.5], [125.0, -304.6]], f32)
+obs_size = jnp.asarray([[3.63, 1.84]] * 2, f32)
+obs_yaw = jnp.asarray([0.0, 0.3], f32)
+obs_mask = jnp.asarray([1.0, 1.0], f32)
+ob = obs_mod.make_static_obstacles(p, obs_xy, obs_size, obs_yaw, dtype=f32)
+
+cm_fn = jax.jit(lambda e: costmap.build_local_costmap(
+    cp, jnp.asarray(gm, f32), ggeom, plan[:, :2], n, e,
+    obs_xy, obs_size, obs_yaw, obs_mask, use_pallas=True))
+lc = cm_fn(ego)
+jax.block_until_ready(lc)
+u = np.asarray(lc.uncertainty_map)
+print("uncertainty range:", u.min(), u.max(), "finite:", np.isfinite(u).all())
+assert 0.0 <= u.min() and u.max() <= 100.0 and np.isfinite(u).all()
+
+unc = UncertaintyMap(lc.uncertainty_map, lc.geom, lc.origin_xy, lc.origin_yaw)
+U = solver.initial_controls(p, dtype=f32)
+t0 = time.perf_counter()
+res = solver.run_step_jit(p, plan, n, ego, U, ob, unc)
+jax.block_until_ready(res)
+print(f"solve 1 (compile): {time.perf_counter()-t0:.1f}s iters={int(res.iterations)}")
+assert 1 <= int(res.iterations) <= 20
+assert np.isfinite(np.asarray(res.X)).all() and np.isfinite(np.asarray(res.U)).all()
+
+# receding-horizon warm start: step ego along, rebuild costmap, re-solve cached
+ego2 = res.X[1]
+lc2 = cm_fn(ego2)
+unc2 = UncertaintyMap(lc2.uncertainty_map, lc2.geom, lc2.origin_xy, lc2.origin_yaw)
+t0 = time.perf_counter()
+res2 = solver.run_step_jit(p, plan, n, ego2, res.U, ob, unc2)
+jax.block_until_ready(res2)
+dt = time.perf_counter() - t0
+print(f"solve 2 (cached): {dt*1e3:.1f} ms iters={int(res2.iterations)}")
+assert dt < 0.1, dt
+assert np.isfinite(np.asarray(res2.U)).all()
+
+# probe: ego far outside the costmap -> uncertainty term silent zero
+ego_far = jnp.asarray([500.0, 500.0, 4.0, 0.0], f32)
+ra = solver.run_step_jit(p, plan, n, ego_far, U, ob, unc)
+rb = solver.run_step_jit(p, plan, n, ego_far, U, ob, None)
+jax.block_until_ready((ra, rb))
+du = float(jnp.max(jnp.abs(ra.U - rb.U)))
+print("outside-map solve delta (with vs without unc):", du)
+assert du == 0.0, du
+
+# probe: zero-speed ego (state-dependent yaw-rate bound collapses)
+ego0 = jnp.asarray([100.0, -305.6, 0.0, 0.05], f32)
+r0 = solver.run_step_jit(p, plan, n, ego0, U, ob, unc)
+jax.block_until_ready(r0)
+assert np.isfinite(np.asarray(r0.U)).all()
+print("zero-speed solve OK, iters =", int(r0.iterations))
+
+# probe: obstacles with mask=0 match no-obstacle solve
+ob0 = obs_mod.make_static_obstacles(p, obs_xy, obs_size, obs_yaw, dtype=f32)
+ob0 = ob0._replace(mask=jnp.zeros_like(ob0.mask))
+rm = solver.run_step_jit(p, plan, n, ego, U, ob0, None)
+rn = solver.run_step_jit(p, plan, n, ego, U, None, None)
+jax.block_until_ready((rm, rn))
+dm = float(jnp.max(jnp.abs(rm.U - rn.U)))
+print("masked-obstacle delta:", dm)
+assert dm == 0.0, dm
+print("E2E DRIVE OK")
