@@ -114,6 +114,54 @@ def main():
     out = outs[-1]
 
     extras = {}
+    if os.environ.get("BENCH_MC", "0") == "1":
+        # Config-3 Monte-Carlo: per-scenario sampled covariance -> batched
+        # Pallas costmap propagation -> world_batched two-phase solve.
+        # Vehicle-frame map (lever arm <= ~32 m); sigma range matches the
+        # reference's experiment magnitudes (Experiment.launch:7-12:
+        # sigma_xy=0.16, sigma_theta=0.017), for which the default
+        # 12-cell window covers every sampled 95% ellipse.
+        from cilqr_tpu.ops import gridmap
+        from cilqr_tpu.parallel import monte_carlo as mc_mod
+        from cilqr_tpu.utils.params import CostmapParams
+
+        cp = CostmapParams()
+        sigma_hi = (0.16, 0.16, 0.017)
+        center = (cp.x_position, cp.y_position)
+        cp = mc_mod.ensure_window_covers(cp, cp.rows, cp.cols, center, sigma_hi)
+        mc_prior = jnp.asarray(
+            rng.uniform(0.0, 100.0, (cp.rows, cp.cols)), jnp.float32
+        )
+        mc_geom = gridmap.make_geom(
+            center, cp.resolution, cp.rows, cp.cols, dtype=jnp.float32
+        )
+        Bmc = int(os.environ.get("BENCH_MC_BATCH", "8192"))
+        base_ego = np.asarray(ego)
+        mc_samples = [
+            mc_mod.sample_scenarios(
+                jax.random.key(k), Bmc, base_ego, sigma_hi=sigma_hi,
+                dtype=jnp.float32,
+            )
+            for k in range(3)
+        ]
+        mc_fn = jax.jit(
+            lambda sg, eg: mc_mod.monte_carlo(
+                p, cp, mc_prior, mc_geom,
+                jnp.asarray(base_ego[:2], jnp.float32),
+                jnp.asarray(base_ego[3], jnp.float32),
+                plan, n, mc_mod.MCSample(sg, eg), obstacles, impl="fast",
+            )
+        )
+        o = mc_fn(mc_samples[0].sigmas, mc_samples[0].egos)
+        jax.block_until_ready(o)
+        t0 = time.perf_counter()
+        os_ = [mc_fn(s.sigmas, s.egos) for s in mc_samples[1:]]
+        jax.block_until_ready(os_)
+        extras["mc_scenarios_per_sec"] = round(
+            2 * Bmc / (time.perf_counter() - t0), 1
+        )
+        extras["mc_window_radius"] = cp.window_radius
+
     if os.environ.get("BENCH_CLOSED_LOOP", "0") == "1":
         from cilqr_tpu.sim import plant
         from cilqr_tpu.utils.params import NoiseParams

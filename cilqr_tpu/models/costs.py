@@ -105,6 +105,7 @@ def state_cost_derivs(
     obstacles: Optional["obstacles_mod.Obstacles"] = None,
     unc_map: Optional["uncertainty_mod.UncertaintyMap"] = None,
     cp=None,
+    unc_onehot: bool = True,
 ):
     """Full l_x (N,4), l_xx (N,4,4): tracking + obstacle barriers +
     uncertainty-map barrier (Constraints.cpp:145-227).
@@ -118,7 +119,8 @@ def state_cost_derivs(
         l_x = l_x + p.w_obstacle * ovx
         l_xx = l_xx + p.w_obstacle * omx
     if unc_map is not None:
-        _, uvx, umx = uncertainty_mod.uncertainty_cost(p, unc_map, X)
+        _, uvx, umx = uncertainty_mod.uncertainty_cost(p, unc_map, X,
+                                                       use_onehot=unc_onehot)
         l_x = l_x + p.w_uncertainty * uvx
         l_xx = l_xx + p.w_uncertainty * umx
     return l_x, l_xx
@@ -177,6 +179,7 @@ def all_cost_derivs_and_J(
     U: jax.Array,
     obstacles=None,
     unc_map=None,
+    unc_onehot: bool = True,
 ):
     """Fused (CostDerivs, J): one closest-point pass serves both the
     tracking derivatives (Constraints.cpp:161-175) and the acceptance cost
@@ -186,7 +189,8 @@ def all_cost_derivs_and_J(
     N = U.shape[0]
     Xh = X[:N]
     cp = find_closest_points(plan, Xh)  # (N, 2) shared
-    l_x, l_xx = state_cost_derivs(p, plan, Xh, obstacles, unc_map, cp=cp)
+    l_x, l_xx = state_cost_derivs(p, plan, Xh, obstacles, unc_map, cp=cp,
+                                  unc_onehot=unc_onehot)
     l_u, l_uu = control_cost_derivs(p, X, U)
     l_ux = jnp.zeros((N, 2, 4), dtype=X.dtype)
     J = total_cost_J(p, plan, X, U, cp=cp)

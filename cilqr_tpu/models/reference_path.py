@@ -317,11 +317,16 @@ def find_closest_points(plan: LocalPlan, states: jax.Array) -> jax.Array:
     ) + n1[:, None] * plan.sample_yl[None, :]
     j = jnp.argmin(d, axis=-1)  # first-min tie-break
 
-    # Exact refine: the expanded form's f32 rounding (~1e-4 m^2 in the
-    # local frame) can flip the winner only between near-equidistant
-    # ADJACENT samples (the non-adjacent distance gap is >= O(step^2) >>
-    # the rounding) — so comparing {j-1, j, j+1} with the reference's exact
-    # global (dx^2 + dy^2) restores Constraints.cpp:28-56 argmin semantics.
+    # Exact refine: comparing {j-1, j, j+1} with the reference's exact
+    # global (dx^2 + dy^2) restores Constraints.cpp:28-56 argmin semantics
+    # for the generic near-tie — the expanded form's f32 rounding (~1e-4
+    # m^2 in the local frame) vs the >= O(step^2) distance gap between
+    # non-adjacent samples ALONG one path leg.  Known residual divergence:
+    # a query near-equidistant (within that same ~1e-4 m^2 rounding) from
+    # two DIFFERENT legs of a self-approaching window (S-curve folds) can
+    # refine around the wrong leg's local minimum; geometrically this needs
+    # two legs of the degree-5 fit within ~1 cm of equidistance inside one
+    # 40 m window, which closed-loop tests never exhibit.
     # Fetch candidates with a one-hot matmul: XLA's per-row gather is ~5x
     # slower than the MXU dot on TPU.  HIGHEST precision makes the dot
     # exact — at the MXU's default bf16 operand truncation the fetched

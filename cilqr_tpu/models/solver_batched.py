@@ -38,21 +38,37 @@ def batched_optimize(
     U_init: jax.Array,
     obstacles=None,
     unc_map=None,
+    world_batched: bool = False,
 ):
     """LM loop over a (B, ...) scenario batch with the fused backward kernel.
 
     plans: vmapped LocalPlan pytree (leading axis B).
+    world_batched: obstacles/unc_map pytrees carry a leading B axis (one
+    world per scenario — the Monte-Carlo per-sampled-covariance setting).
+    The uncertainty sample then uses plain gathers instead of the one-hot
+    matmul (see uncertainty_cost's use_onehot note).
     Returns (X (B,N+1,4), U (B,N,2), iters (B,), J (B,), lamb (B,))."""
     B = x0s.shape[0]
     dtype = x0s.dtype
     X0 = jax.vmap(lambda e, u: dynamics.rollout(p, e, u))(x0s, U_init)
     big = jnp.full((B,), jnp.finfo(dtype).max, dtype)
 
-    derivs_J = jax.vmap(
-        lambda pl_, Xi, Ui: costs_mod.all_cost_derivs_and_J(
-            p, pl_, Xi, Ui, obstacles, unc_map
+    if world_batched:
+        inner = jax.vmap(
+            lambda pl_, Xi, Ui, ob, um: costs_mod.all_cost_derivs_and_J(
+                p, pl_, Xi, Ui, ob, um, unc_onehot=False
+            ),
+            in_axes=(0, 0, 0,
+                     0 if obstacles is not None else None,
+                     0 if unc_map is not None else None),
         )
-    )
+        derivs_J = lambda pls, Xi, Ui: inner(pls, Xi, Ui, obstacles, unc_map)
+    else:
+        derivs_J = jax.vmap(
+            lambda pl_, Xi, Ui: costs_mod.all_cost_derivs_and_J(
+                p, pl_, Xi, Ui, obstacles, unc_map
+            )
+        )
 
     def cond(carry):
         X, U, J_old, lamb, it, done = carry
@@ -98,6 +114,7 @@ def run_steps_batched(
     obstacles=None,
     unc_map=None,
     impl: str = "mega",
+    world_batched: bool = False,
 ) -> solver.SolveResult:
     """Batched ``run_step`` (iLQR.cpp:247-255) on the fused fast path.
 
@@ -107,8 +124,12 @@ def run_steps_batched(
     impl: "mega" (default) runs the fully-fused iteration kernel
     (``ops.lm_pallas`` — cost derivatives computed on-chip, ~4x the
     two-phase throughput); "two_phase" keeps the XLA-derivatives +
-    Riccati-kernel pipeline, which is also the fallback for per-scenario
-    (batched) obstacle/uncertainty pytrees."""
+    Riccati-kernel pipeline.
+
+    world_batched=True: obstacles/unc_map carry a leading B axis (one world
+    per scenario).  Per-scenario maps cannot live in the mega kernel's VMEM
+    (a 152x104 map per lane is ~60 MB/tile vs the ~16 MB budget), so this
+    always routes to the two-phase pipeline."""
     B = egos.shape[0]
     pad = (-B) % riccati_pallas.TILE
     if pad:
@@ -118,22 +139,31 @@ def run_steps_batched(
         U_warm = jnp.concatenate(
             [U_warm, jnp.broadcast_to(U_warm[:1], (pad,) + U_warm.shape[1:])], axis=0
         )
+        if world_batched:
+            padfn = lambda a: jnp.concatenate(
+                [a, jnp.broadcast_to(a[:1], (pad,) + a.shape[1:])], axis=0
+            )
+            obstacles = None if obstacles is None else jax.tree.map(padfn, obstacles)
+            unc_map = None if unc_map is None else jax.tree.map(padfn, unc_map)
     plans = jax.vmap(lambda e: get_local_plan(p, plan_xy, plan_n, e))(egos)
-    if impl == "mega":
+    if impl == "mega" and not world_batched:
         from cilqr_tpu.ops import lm_pallas
 
         X, U, it, J, lamb = lm_pallas.fused_optimize(
             p, plans, egos, U_warm, obstacles, unc_map
         )
     else:
-        X, U, it, J, lamb = batched_optimize(p, plans, egos, U_warm, obstacles, unc_map)
+        X, U, it, J, lamb = batched_optimize(
+            p, plans, egos, U_warm, obstacles, unc_map, world_batched=world_batched
+        )
     res = solver.SolveResult(X, U, plans.x_wpts, plans.y_fit, it, J, lamb)
     if pad:
         res = jax.tree.map(lambda a: a[:B], res)
     return res
 
 
-@partial(jax.jit, static_argnums=(0, 7))
+@partial(jax.jit, static_argnums=(0, 7, 8))
 def run_steps_batched_jit(p, plan_xy, plan_n, egos, U_warm, obstacles=None,
-                          unc_map=None, impl="mega"):
-    return run_steps_batched(p, plan_xy, plan_n, egos, U_warm, obstacles, unc_map, impl)
+                          unc_map=None, impl="mega", world_batched=False):
+    return run_steps_batched(p, plan_xy, plan_n, egos, U_warm, obstacles,
+                             unc_map, impl, world_batched)

@@ -66,11 +66,17 @@ def make_uncertainty_map(values, center_xy, resolution, origin_xy, origin_yaw, d
     )
 
 
-def uncertainty_cost(p: SolverParams, m: UncertaintyMap, X: jax.Array):
+def uncertainty_cost(p: SolverParams, m: UncertaintyMap, X: jax.Array,
+                     use_onehot: bool = True):
     """Barrier (x, vx, mx) at each state.
 
     Args:
       X: (N, 4) or (4,) ego states in the global frame.
+      use_onehot: corner fetch strategy (see
+        gridmap.sample_bilinear_with_grad).  Pass False when this call is
+        vmapped over PER-SCENARIO maps — the batched one-hot would
+        materialize a (B, N, cells) tensor (~0.8 GB at B=256 on the default
+        152x104 map); the plain gather stays O(B*N).
     Returns:
       (cost (N,), vx (N, 4), mx (N, 4, 4)) — unweighted; the caller applies
       w_uncertainty exactly as Constraints.cpp:199-200 does.
@@ -87,7 +93,8 @@ def uncertainty_cost(p: SolverParams, m: UncertaintyMap, X: jax.Array):
         [cy * d[:, 0] + sy * d[:, 1], -sy * d[:, 0] + cy * d[:, 1]], axis=-1
     )
 
-    u, grad_local = gridmap.sample_bilinear_with_grad(m.values, m.geom, local)
+    u, grad_local = gridmap.sample_bilinear_with_grad(m.values, m.geom, local,
+                                                      use_onehot=use_onehot)
     inside = gridmap.in_bounds(m.geom, local)
 
     c = u / 100.0

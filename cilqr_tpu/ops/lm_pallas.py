@@ -26,10 +26,11 @@ broadcast, and the uncertainty-map one-hot matmul.  This kernel fuses the
       (iLQR.cpp:133-191) — same unrolled math as ``riccati_pallas``;
   then the closed-loop forward rollout (iLQR.cpp:68-86) on the k/K scratch.
 
-The LM accept/reject loop stays in XLA (``fused_optimize``) but carries the
-trajectory in kernel tile layout across iterations, so per-iteration HBM
-traffic is just X/U in+out (~5 MB at B=4096) instead of ~50 MB of derivative
-planes + distance fields.
+By default the LM accept/reject loop ALSO runs inside the kernel
+(``_opt_kernel`` — one invocation per tile, zero per-iteration HBM traffic,
+per-tile early exit); ``fused_optimize(inkernel_loop=False)`` keeps the
+one-kernel-call-per-iteration form with XLA bookkeeping (per-iteration HBM
+traffic is X/U in+out, ~5 MB at B=4096) as a parity cross-check.
 
 Numerics note: J is accumulated sequentially over the horizon inside the
 kernel while the two-phase path reduces it with XLA's tree order, so J can
@@ -151,6 +152,23 @@ def prep_world(p: SolverParams, obstacles, unc_map, dtype=jnp.float32) -> WorldP
     obs = prep_obstacles(p, obstacles, dtype)
     m4, scl, hw = prep_unc_map(unc_map, dtype)
     return WorldPrep(obs, m4, scl, hw, obstacles is not None, unc_map is not None)
+
+
+def _spec(steps, c):
+    """Per-tile (1, steps, c, 8, 128) VMEM block, indexed by grid g."""
+    return pl.BlockSpec(
+        (1, steps, c, _TS, _TL), lambda g: (g, 0, 0, 0, 0), memory_space=pltpu.VMEM
+    )
+
+
+_PLANE_SPEC = pl.BlockSpec(
+    (1, 1, _TS, _TL), lambda g: (g, 0, 0, 0), memory_space=pltpu.VMEM
+)
+
+
+def _shared(arr, space):
+    """Whole-array block replicated to every grid step (shared world)."""
+    return pl.BlockSpec(arr.shape, lambda g: (0,) * arr.ndim, memory_space=space)
 
 
 def _padd(a, b):
@@ -614,7 +632,7 @@ def _run_iteration(p: SolverParams, S: int, M: int, K: int, H: int, W: int,
     # Unroll: same op sequence, 1/U the loop/dynamic-index overhead.
     # max_unroll=1 in interpret mode (a bigger traced body only slows the
     # CPU interpreter; results are identical either way).
-    U_f = next((u for u in (10, 5, 4, 3, 2) if u <= max_unroll and N % u == 0), 1)
+    U_f = riccati_pallas.pick_unroll(N, max_unroll)
 
     def backward_bodyU(t, carry):
         for i in range(U_f):
@@ -696,12 +714,17 @@ def _opt_kernel(p: SolverParams, S: int, M: int, K: int, H: int, W: int,
         accept = J_new < J_old
         upd = done < 0.5
         take = jnp.logical_and(upd, accept)
-        for j in range(N + 1):
-            for i in range(4):
-                X_ref[0, j, i] = jnp.where(take, Xp_ref[0, j, i], X_ref[0, j, i])
-        for j in range(N):
-            for i in range(2):
-                U_ref[0, j, i] = jnp.where(take, Up_ref[0, j, i], U_ref[0, j, i])
+
+        # On an inactive tile `take` is statically all-false — skip the
+        # ~300-plane masked write-back too, completing the early exit.
+        @pl.when(active)
+        def _():
+            for j in range(N + 1):
+                for i in range(4):
+                    X_ref[0, j, i] = jnp.where(take, Xp_ref[0, j, i], X_ref[0, j, i])
+            for j in range(N):
+                for i in range(2):
+                    U_ref[0, j, i] = jnp.where(take, Up_ref[0, j, i], U_ref[0, j, i])
         lamb_n = jnp.where(accept, lamb / p.lamb_factor, lamb * p.lamb_factor)
         # stop as f32 planes — Mosaic can't select_n on i1 *data* vectors
         stop = jnp.where(
@@ -769,31 +792,21 @@ def fused_iteration(p: SolverParams, world: WorldPrep, fit_t, sxy_t, X_t, U_t,
         kern((fit_r, sxy_r, X_r, U_r, lamb_r, obs_r, m4_r, scl_r,
               Xn_r, Un_r, J_r, k_s, K_s))
 
-    spec = lambda steps, c: pl.BlockSpec(
-        (1, steps, c, _TS, _TL), lambda g: (g, 0, 0, 0, 0), memory_space=pltpu.VMEM
-    )
-    plane_spec = pl.BlockSpec(
-        (1, 1, _TS, _TL), lambda g: (g, 0, 0, 0), memory_space=pltpu.VMEM
-    )
-    shared = lambda arr, space: pl.BlockSpec(
-        arr.shape, lambda g: (0,) * arr.ndim, memory_space=space
-    )
-
     C = fit_t.shape[1]
     Xn_t, Un_t, J_t = pl.pallas_call(
         kernel_entry,
         grid=(G,),
         in_specs=[
-            spec(C, 1),
-            spec(S, 3),
-            spec(N + 1, 4),
-            spec(N, 2),
-            plane_spec,
-            shared(world.obs, pltpu.SMEM),
-            shared(world.m4, pltpu.VMEM),
-            shared(world.scl, pltpu.SMEM),
+            _spec(C, 1),
+            _spec(S, 3),
+            _spec(N + 1, 4),
+            _spec(N, 2),
+            _PLANE_SPEC,
+            _shared(world.obs, pltpu.SMEM),
+            _shared(world.m4, pltpu.VMEM),
+            _shared(world.scl, pltpu.SMEM),
         ],
-        out_specs=[spec(N + 1, 4), spec(N, 2), plane_spec],
+        out_specs=[_spec(N + 1, 4), _spec(N, 2), _PLANE_SPEC],
         out_shape=[
             jax.ShapeDtypeStruct((G, N + 1, 4, _TS, _TL), f32),
             jax.ShapeDtypeStruct((G, N, 2, _TS, _TL), f32),
@@ -837,29 +850,19 @@ def _fused_optimize_call(p: SolverParams, world: WorldPrep, fit_t, X0_t, U0_t,
               X_r, U_r, J_r, lamb_r, it_r,
               sxy_s, Xp_s, Up_s, k_s, K_s, Jn_s, done_s))
 
-    spec = lambda steps, c: pl.BlockSpec(
-        (1, steps, c, _TS, _TL), lambda g: (g, 0, 0, 0, 0), memory_space=pltpu.VMEM
-    )
-    plane_spec = pl.BlockSpec(
-        (1, 1, _TS, _TL), lambda g: (g, 0, 0, 0), memory_space=pltpu.VMEM
-    )
-    shared = lambda arr, space: pl.BlockSpec(
-        arr.shape, lambda g: (0,) * arr.ndim, memory_space=space
-    )
-
     C = fit_t.shape[1]
     X_t, U_t, J_t, lamb_t, it_t = pl.pallas_call(
         kernel_entry,
         grid=(G,),
         in_specs=[
-            spec(C, 1),
-            spec(N + 1, 4),
-            spec(N, 2),
-            shared(world.obs, pltpu.SMEM),
-            shared(world.m4, pltpu.VMEM),
-            shared(world.scl, pltpu.SMEM),
+            _spec(C, 1),
+            _spec(N + 1, 4),
+            _spec(N, 2),
+            _shared(world.obs, pltpu.SMEM),
+            _shared(world.m4, pltpu.VMEM),
+            _shared(world.scl, pltpu.SMEM),
         ],
-        out_specs=[spec(N + 1, 4), spec(N, 2), plane_spec, plane_spec, plane_spec],
+        out_specs=[_spec(N + 1, 4), _spec(N, 2), _PLANE_SPEC, _PLANE_SPEC, _PLANE_SPEC],
         out_shape=[
             jax.ShapeDtypeStruct((G, N + 1, 4, _TS, _TL), f32),
             jax.ShapeDtypeStruct((G, N, 2, _TS, _TL), f32),

@@ -37,6 +37,14 @@ _TS, _TL = 8, 128
 TILE = _TS * _TL
 
 
+def pick_unroll(N: int, max_unroll: int) -> int:
+    """Largest unroll factor <= max_unroll dividing the horizon.
+
+    Shared policy for every sequential in-kernel loop (backward Riccati,
+    forward rollout) so backward/forward unrolling stays in sync."""
+    return next((u for u in (10, 5, 4, 3, 2) if u <= max_unroll and N % u == 0), 1)
+
+
 def _kernel(N: int, dt: float, refs):
     (lx_ref, lxx_ref, lu_ref, luu_ref, vta_ref, lamb_ref, k_ref, K_ref) = refs
 
@@ -221,7 +229,7 @@ def _fwd_kernel(N: int, p, refs, max_unroll: int = 1):
 
     x_init = tuple(X_ref[0, 0, i] for i in range(4))
     # Unroll: same op sequence, 1/U the loop/dynamic-index overhead
-    U_f = next((u for u in (10, 5, 4, 3, 2) if u <= max_unroll and N % u == 0), 1)
+    U_f = pick_unroll(N, max_unroll)
 
     def bodyU(t, x):
         for i in range(U_f):
@@ -249,7 +257,7 @@ def _from_tiles(y, B, trailing):
 
 
 @functools.partial(jax.jit, static_argnums=(0, 6))
-def backward_batched(p: SolverParams, d, X, U, lamb, _unused=None, interpret: bool = False):
+def backward_batched(p: SolverParams, d, X, U, lamb, _unused=None, interpret=None):
     """Batched backward pass via the fused kernel.
 
     Args (all batched, float32):
@@ -258,6 +266,8 @@ def backward_batched(p: SolverParams, d, X, U, lamb, _unused=None, interpret: bo
       X: (B, N+1, 4); U: (B, N, 2); lamb: (B,).
     Returns (k (B, N, 2), K (B, N, 2, 4)).
     """
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
     B = X.shape[0]
     if B % TILE:
         raise ValueError(f"batch {B} must be a multiple of {TILE}")
@@ -307,12 +317,14 @@ def backward_batched(p: SolverParams, d, X, U, lamb, _unused=None, interpret: bo
 
 
 @functools.partial(jax.jit, static_argnums=(0, 5))
-def backward_forward_batched(p: SolverParams, d, X, U, lamb, interpret: bool = False):
+def backward_forward_batched(p: SolverParams, d, X, U, lamb, interpret=None):
     """One fused kernel per LM iteration: backward recursion -> k/K in
     VMEM scratch -> closed-loop forward rollout.  k/K never touch HBM.
 
     Returns (X_new (B, N+1, 4), U_new (B, N, 2)).
     """
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
     B = X.shape[0]
     if B % TILE:
         raise ValueError(f"batch {B} must be a multiple of {TILE}")

@@ -119,8 +119,22 @@ def monte_carlo(
     samples: MCSample,
     obstacles=None,
     sigma_hi=DEFAULT_SIGMA_HI,
+    impl: str = "auto",
 ):
-    """vmapped config-3 batch on one chip.
+    """Config-3 batch on one chip: per-scenario costmap + solve.
+
+    impl:
+      "fast" — batched Pallas propagation kernel (grid over scenarios,
+        ops/uncertainty_pallas.propagate_uncertainty_tpu_batched) + the
+        two-phase batched solver with per-scenario uncertainty maps
+        (world_batched).  ~1000x the vmap path on v5e (the vmapped
+        reference propagation lowers to batched gathers and the vmapped
+        solve to sequential micro-ops).  B is padded to the 1024-lane
+        kernel tile internally.
+      "reference" — vmap of ``mc_solve_one`` (the semantics oracle; float64
+        propagation when the inputs are float64).
+      "auto" (default) — "fast" when the batch is at least 256 (so tile
+        padding stays amortized), else "reference".
 
     ``sigma_hi`` must bound the sampled sigmas: the propagation window is
     auto-enlarged to cover its 95% ellipse (see ensure_window_covers).
@@ -135,11 +149,36 @@ def monte_carlo(
     except (TypeError, jax.errors.TracerArrayConversionError,
             jax.errors.ConcretizationTypeError):
         pass  # traced center: caller pre-sized cp
+    B = samples.egos.shape[0]
+    if impl == "auto":
+        impl = "fast" if B >= 256 else "reference"
     U0 = solver.initial_controls(p, dtype=samples.egos.dtype)
-    fn = lambda s, e: mc_solve_one(
-        p, cp, prior, geom, origin_xy, origin_yaw, plan_xy, plan_n, s, e, U0, obstacles
+
+    if impl == "reference":
+        fn = lambda s, e: mc_solve_one(
+            p, cp, prior, geom, origin_xy, origin_yaw, plan_xy, plan_n, s, e,
+            U0, obstacles
+        )
+        return jax.vmap(fn)(samples.sigmas, samples.egos)
+
+    from cilqr_tpu.models import solver_batched
+    from cilqr_tpu.ops import uncertainty_pallas
+
+    unc_vals = uncertainty_pallas.propagate_uncertainty_tpu_batched(
+        cp, prior, geom, origin_yaw, samples.sigmas
     )
-    return jax.vmap(fn)(samples.sigmas, samples.egos)
+    bc = lambda a: jnp.broadcast_to(
+        jnp.asarray(a), (B,) + jnp.shape(jnp.asarray(a))
+    )
+    umaps = unc_mod.UncertaintyMap(
+        unc_vals, jax.tree.map(bc, geom), bc(origin_xy), bc(origin_yaw)
+    )
+    obs_b = None if obstacles is None else jax.tree.map(bc, obstacles)
+    U0s = jnp.broadcast_to(U0, (B,) + U0.shape)
+    return solver_batched.run_steps_batched(
+        p, plan_xy, plan_n, samples.egos, U0s, obs_b, umaps,
+        impl="two_phase", world_batched=True,
+    )
 
 
 def make_sharded_monte_carlo(
@@ -150,6 +189,7 @@ def make_sharded_monte_carlo(
     map_shape=None,
     map_center=None,
     sigma_hi=DEFAULT_SIGMA_HI,
+    impl: str = "auto",
 ):
     """Config-5 builder: scenario-sharded Monte-Carlo with per-scenario
     costmap propagation, psum metrics.  Returns (jitted fn, batch sharding).
@@ -177,7 +217,7 @@ def make_sharded_monte_carlo(
     def shard_fn(prior, geom, origin_xy, origin_yaw, plan_xy, plan_n, sigmas, egos):
         res = monte_carlo(
             p, cp, prior, geom, origin_xy, origin_yaw, plan_xy, plan_n,
-            MCSample(sigmas, egos), obstacles,
+            MCSample(sigmas, egos), obstacles, impl=impl,
         )
         return res, _metrics_local(p, res, BATCH_AXIS)
 

@@ -80,3 +80,22 @@ def test_multihost_helpers_single_process(params):
     m = BatchMetrics(jnp.asarray(1.0), jnp.asarray(2.0), jnp.asarray(3.0), jnp.asarray(0.5))
     d = multihost.gather_metrics(m)
     assert d == {"mean_J": 1.0, "max_J": 2.0, "mean_iterations": 3.0, "converged_frac": 0.5}
+
+
+def test_fast_impl_matches_reference_impl(params):
+    """Batched propagation kernel + world_batched two-phase solve vs the
+    vmapped per-sample oracle (f32 propagation => 1e-3-level agreement)."""
+    p, cp, prior, geom, plan, n, ego = _setup(params)
+    p = dataclasses.replace(p, horizon=6, max_iterations=3)
+    samples = mc.sample_scenarios(jax.random.key(11), 8, ego, dtype=jnp.float64)
+    args = (p, cp, prior, geom, jnp.asarray(ego[:2]), jnp.asarray(ego[3]),
+            plan, n, samples)
+    fast = mc.monte_carlo(*args, impl="fast")
+    ref = mc.monte_carlo(*args, impl="reference")
+    np.testing.assert_array_equal(
+        np.asarray(fast.iterations), np.asarray(ref.iterations)
+    )
+    np.testing.assert_allclose(np.asarray(fast.U), np.asarray(ref.U),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(fast.X), np.asarray(ref.X),
+                               rtol=1e-4, atol=1e-3)

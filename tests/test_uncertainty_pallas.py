@@ -25,3 +25,28 @@ def test_pallas_kernel_matches_xla_reference(yaw):
         cp, prior, geom, jnp.asarray(yaw, jnp.float32), interpret=True
     )
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-5, atol=2e-4)
+
+
+def test_batched_kernel_matches_vmapped_reference():
+    """Per-scenario sigmas over one shared prior (the Monte-Carlo layout)."""
+    cp = dataclasses.replace(CostmapParams(), rows=24, cols=20, window_radius=6)
+    rng = np.random.default_rng(3)
+    prior = jnp.asarray(rng.uniform(0, 100, (24, 20)), jnp.float32)
+    geom = gridmap.make_geom([2.0, -1.0], cp.resolution, 24, 20, dtype=jnp.float32)
+    yaw = jnp.asarray(0.7, jnp.float32)
+    sigmas = jnp.asarray(rng.uniform(0.005, 0.05, (5, 3)), jnp.float32)
+
+    import jax
+
+    got = uncertainty_pallas.propagate_uncertainty_tpu_batched(
+        cp, prior, geom, yaw, sigmas, interpret=True
+    )
+    want = jax.vmap(
+        lambda sg: costmap.propagate_uncertainty_reference(
+            cp, prior, geom, yaw, sigmas=(sg[0], sg[1], sg[2])
+        )
+    )(sigmas)
+    assert got.shape == (5, 24, 20)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-5, atol=2e-4)
+    # scenarios must actually differ (per-sigma fields reach the kernel)
+    assert float(jnp.max(jnp.abs(got[0] - got[-1]))) > 1e-3
