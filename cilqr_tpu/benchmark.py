@@ -125,10 +125,15 @@ def main():
         from cilqr_tpu.parallel import monte_carlo as mc_mod
         from cilqr_tpu.utils.params import CostmapParams
 
+        from cilqr_tpu.ops import uncertainty_pallas
+
         cp = CostmapParams()
         sigma_hi = (0.16, 0.16, 0.017)
         center = (cp.x_position, cp.y_position)
         cp = mc_mod.ensure_window_covers(cp, cp.rows, cp.cols, center, sigma_hi)
+        band_plan = uncertainty_pallas.make_band_plan(
+            cp, cp.rows, cp.cols, center, sigma_hi
+        )
         mc_prior = jnp.asarray(
             rng.uniform(0.0, 100.0, (cp.rows, cp.cols)), jnp.float32
         )
@@ -150,6 +155,7 @@ def main():
                 jnp.asarray(base_ego[:2], jnp.float32),
                 jnp.asarray(base_ego[3], jnp.float32),
                 plan, n, mc_mod.MCSample(sg, eg), obstacles, impl="fast",
+                band_plan=band_plan,
             )
         )
         o = mc_fn(mc_samples[0].sigmas, mc_samples[0].egos)

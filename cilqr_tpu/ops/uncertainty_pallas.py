@@ -34,9 +34,19 @@ from cilqr_tpu.utils.params import CostmapParams
 
 
 def _accumulate(R: int, res: float, chi2: float, rows: int, cols: int,
-                prior_pad_ref, sx, sy, rho):
+                prior_pad_ref, sx, sy, rho,
+                row0: int = 0, total_rows: int = None):
     """Shared accumulation body: (num, den) of the Gaussian-weighted ellipse
-    average for one map given its per-cell covariance fields."""
+    average for ``rows`` map rows given their per-cell covariance fields.
+
+    Banded use: ``rows`` may be a row band starting at global row ``row0``
+    of a ``total_rows``-row map whose R-padded prior fills
+    ``prior_pad_ref``; the in-map masks and padded slicing then use global
+    row ids.  Enlarging/shrinking the window is EXACT as long as it covers
+    every cell's 95% ellipse — offsets beyond the ellipse contribute
+    w = 0."""
+    if total_rows is None:
+        total_rows = rows
     W = 2 * R + 1
     one_m_rho2 = 1.0 - rho * rho
     inv_det2 = 1.0 / (2.0 * one_m_rho2)
@@ -44,7 +54,7 @@ def _accumulate(R: int, res: float, chi2: float, rows: int, cols: int,
     thresh = chi2 * one_m_rho2
 
     # neighbor-in-map masks come from global cell ids
-    row_id = jax.lax.broadcasted_iota(jnp.int32, (rows, cols), 0)
+    row_id = jax.lax.broadcasted_iota(jnp.int32, (rows, cols), 0) + row0
     col_id = jax.lax.broadcasted_iota(jnp.int32, (rows, cols), 1)
 
     inv_sx = 1.0 / sx
@@ -66,8 +76,8 @@ def _accumulate(R: int, res: float, chi2: float, rows: int, cols: int,
             # neighbor j at index offset (di-R, dj-R) -> position offset
             # (-(di-R)*res, -(dj-R)*res)
             dx = -(di - R).astype(jnp.float32) * res
-            p_j = prior_pad_ref[pl.ds(di, rows), dj : dj + cols]
-            in_map = col_ok & (row_id + (di - R) >= 0) & (row_id + (di - R) < rows)
+            p_j = prior_pad_ref[pl.ds(di + row0, rows), dj : dj + cols]
+            in_map = col_ok & (row_id + (di - R) >= 0) & (row_id + (di - R) < total_rows)
             zx = dx * inv_sx
             q = zx * zx - 2.0 * rho * zx * zy + zy * zy
             f = jnp.exp(-q * inv_det2)
@@ -215,3 +225,120 @@ def propagate_uncertainty_tpu_batched(
         interpret=interpret,
     )(prior_pad, sxb, syb, rhob, psdb, prior32)
     return out.astype(prior.dtype)
+
+
+def _kernel_band(R: int, res: float, chi2: float, band_rows: int, cols: int,
+                 row0: int, total_rows: int,
+                 prior_pad_ref, sx_ref, sy_ref, rho_ref, psd_ref,
+                 prior_ref, out_ref):
+    """One row band of one scenario (see propagate_uncertainty_tpu_banded)."""
+    num, den = _accumulate(R, res, chi2, band_rows, cols, prior_pad_ref,
+                           sx_ref[0], sy_ref[0], rho_ref[0],
+                           row0=row0, total_rows=total_rows)
+    out_ref[0] = _finish(num, den, psd_ref[0], prior_ref[:])
+
+
+def make_band_plan(cp: CostmapParams, rows: int, cols: int, center,
+                   sigma_hi, max_bands: int = 4):
+    """Static row bands with per-band window radii for banded propagation.
+
+    The fixed-window kernel sizes its (2R+1)^2 accumulation for the WORST
+    cell of the map (``required_window_radius``'s corner bound), but the
+    required radius grows with the per-cell lever arm |cell| — near-ego
+    rows need a fraction of the corner radius.  Splitting the rows into
+    contiguous bands whose radius is that band's own worst-row bound cuts
+    the accumulation FLOPs ~2-4x EXACTLY: a window that covers every
+    cell's 95% ellipse yields bit-identical results (outside-ellipse
+    offsets contribute w = 0).
+
+    Returns a static tuple of (row0, band_rows, radius), hashable for jit
+    closures.  Must be built OUTSIDE jit (concrete center).
+    """
+    import numpy as _np
+
+    res = cp.resolution
+    first_x = center[0] + 0.5 * rows * res - 0.5 * res
+    xs = first_x - res * _np.arange(rows)
+    y_lo = center[1] - 0.5 * cols * res + 0.5 * res
+    y_hi = center[1] + 0.5 * cols * res - 0.5 * res
+    max_y = max(abs(y_lo), abs(y_hi))
+    lever = _np.hypot(_np.abs(xs), max_y)
+    s_x, s_y, s_t = sigma_hi
+    need = _np.ceil(
+        cp.chisquare_val
+        * _np.sqrt(s_x * s_x + s_y * s_y + s_t * s_t * lever * lever)
+        / res
+    ).astype(int)
+    need = _np.maximum(need, 1)
+    n_b = min(max_bands, rows)
+    bounds = _np.linspace(0, rows, n_b + 1).astype(int)
+    plan = []
+    for i in range(n_b):
+        r0, r1 = int(bounds[i]), int(bounds[i + 1])
+        if r1 > r0:
+            plan.append((r0, r1 - r0, int(need[r0:r1].max())))
+    return tuple(plan)
+
+
+def propagate_uncertainty_tpu_banded(
+    cp: CostmapParams,
+    prior: jax.Array,
+    geom: gridmap.GridGeom,
+    ego_yaw: jax.Array,
+    sigmas: jax.Array,
+    band_plan,
+    faithful_rho: bool = False,
+    interpret=None,
+) -> jax.Array:
+    """Banded variant of ``propagate_uncertainty_tpu_batched``: one
+    pallas_call per row band, each with that band's own (smaller) window
+    radius from ``make_band_plan``.  Exact (not an approximation) as long
+    as the sampled sigmas stay within the plan's sigma_hi bound."""
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    rows, cols = prior.shape
+    xs, ys = gridmap.cell_positions(geom, rows, cols)
+    prior32 = prior.astype(jnp.float32)
+
+    def fields(sg):
+        sx, sy, rho = costmap_mod.cell_sigma_rho(
+            cp, xs, ys, ego_yaw, faithful=faithful_rho,
+            sigmas=(sg[0], sg[1], sg[2]),
+        )
+        psd = (jnp.abs(rho) < 1.0).astype(jnp.float32)
+        rho = jnp.where(psd > 0, rho, 0.0).astype(jnp.float32)
+        return sx.astype(jnp.float32), sy.astype(jnp.float32), rho, psd
+
+    sxb, syb, rhob, psdb = jax.vmap(fields)(sigmas)
+    B = sigmas.shape[0]
+
+    outs = []
+    for (r0, br, Rb) in band_plan:
+        prior_pad = jnp.pad(prior32, Rb)
+        kern = functools.partial(
+            _kernel_band, Rb, float(cp.resolution),
+            float(cp.chisquare_val**2), br, cols, r0, rows,
+        )
+        per_b = pl.BlockSpec((1, br, cols), lambda b: (b, 0, 0),
+                             memory_space=pltpu.VMEM)
+        shared = lambda arr: pl.BlockSpec(
+            arr.shape, lambda b: (0,) * arr.ndim, memory_space=pltpu.VMEM
+        )
+        sl = lambda a: a[:, r0 : r0 + br]
+        out = pl.pallas_call(
+            kern,
+            grid=(B,),
+            in_specs=[shared(prior_pad), per_b, per_b, per_b, per_b,
+                      shared(prior32[r0 : r0 + br])],
+            out_specs=per_b,
+            out_shape=jax.ShapeDtypeStruct((B, br, cols), jnp.float32),
+            cost_estimate=pl.CostEstimate(
+                flops=B * (2 * Rb + 1) ** 2 * br * cols * 12,
+                bytes_accessed=4 * br * cols * (5 * B + 2),
+                transcendentals=B * (2 * Rb + 1) ** 2 * br * cols,
+            ),
+            interpret=interpret,
+        )(prior_pad, sl(sxb), sl(syb), sl(rhob), sl(psdb),
+          prior32[r0 : r0 + br])
+        outs.append(out)
+    return jnp.concatenate(outs, axis=1).astype(prior.dtype)

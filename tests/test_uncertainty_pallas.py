@@ -50,3 +50,27 @@ def test_batched_kernel_matches_vmapped_reference():
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-5, atol=2e-4)
     # scenarios must actually differ (per-sigma fields reach the kernel)
     assert float(jnp.max(jnp.abs(got[0] - got[-1]))) > 1e-3
+
+
+def test_banded_kernel_bit_identical_to_full_window():
+    """Row bands with per-band radii from make_band_plan reproduce the
+    fixed-window kernel exactly (coverage => w=0 beyond the ellipse)."""
+    cp = dataclasses.replace(CostmapParams(), rows=40, cols=20, window_radius=12)
+    rng = np.random.default_rng(5)
+    prior = jnp.asarray(rng.uniform(0, 100, (40, 20)), jnp.float32)
+    geom = gridmap.make_geom([4.0, 0.0], cp.resolution, 40, 20, dtype=jnp.float32)
+    yaw = jnp.asarray(0.4, jnp.float32)
+    sigma_hi = (0.16, 0.16, 0.017)
+    sig_xy = rng.uniform(0.005, 0.16, (4, 2))
+    sig_t = rng.uniform(0.005, 0.017, (4, 1))
+    sigmas = jnp.asarray(np.concatenate([sig_xy, sig_t], axis=1), jnp.float32)
+
+    plan = uncertainty_pallas.make_band_plan(cp, 40, 20, (4.0, 0.0), sigma_hi)
+    assert len(plan) >= 2 and all(r <= cp.window_radius for _, _, r in plan)
+    banded = uncertainty_pallas.propagate_uncertainty_tpu_banded(
+        cp, prior, geom, yaw, sigmas, plan, interpret=True
+    )
+    full = uncertainty_pallas.propagate_uncertainty_tpu_batched(
+        cp, prior, geom, yaw, sigmas, interpret=True
+    )
+    np.testing.assert_array_equal(np.asarray(banded), np.asarray(full))
