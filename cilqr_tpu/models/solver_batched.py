@@ -126,10 +126,14 @@ def run_steps_batched(
     two-phase throughput); "two_phase" keeps the XLA-derivatives +
     Riccati-kernel pipeline.
 
-    world_batched=True: obstacles/unc_map carry a leading B axis (one world
-    per scenario).  Per-scenario maps cannot live in the mega kernel's VMEM
-    (a 152x104 map per lane is ~60 MB/tile vs the ~16 MB budget), so this
-    always routes to the two-phase pipeline."""
+    world_batched=True: unc_map carries a leading B axis (one map per
+    scenario); obstacles must then be SHARED (or None) for impl="mega".
+    Per-scenario maps cannot live in the mega kernel's VMEM (a 152x104 map
+    per lane is ~60 MB/tile vs the ~16 MB budget); impl="mega" uses the
+    hybrid path — XLA samples each scenario's own map at the current
+    trajectory every LM iteration and feeds (e, gx, gy) planes to the
+    kernel — while impl="two_phase" keeps everything (including batched
+    obstacles) in the XLA derivative phase."""
     B = egos.shape[0]
     pad = (-B) % riccati_pallas.TILE
     if pad:
@@ -143,7 +147,8 @@ def run_steps_batched(
             padfn = lambda a: jnp.concatenate(
                 [a, jnp.broadcast_to(a[:1], (pad,) + a.shape[1:])], axis=0
             )
-            obstacles = None if obstacles is None else jax.tree.map(padfn, obstacles)
+            if impl != "mega":
+                obstacles = None if obstacles is None else jax.tree.map(padfn, obstacles)
             unc_map = None if unc_map is None else jax.tree.map(padfn, unc_map)
     plans = jax.vmap(lambda e: get_local_plan(p, plan_xy, plan_n, e))(egos)
     if impl == "mega" and not world_batched:
@@ -151,6 +156,22 @@ def run_steps_batched(
 
         X, U, it, J, lamb = lm_pallas.fused_optimize(
             p, plans, egos, U_warm, obstacles, unc_map
+        )
+    elif impl == "mega":
+        from cilqr_tpu.models import uncertainty as uncertainty_mod
+        from cilqr_tpu.ops import lm_pallas
+
+        # hybrid: shared obstacles in-kernel, per-scenario maps sampled by
+        # XLA each iteration (two-stage one-hot MXU contraction)
+        unc_sampler = (
+            None if unc_map is None
+            else (lambda Xb: jnp.stack(
+                uncertainty_mod.uncertainty_sample_batched(p, unc_map, Xb),
+                axis=-1,
+            ))
+        )
+        X, U, it, J, lamb = lm_pallas.fused_optimize(
+            p, plans, egos, U_warm, obstacles, None, unc_sampler=unc_sampler
         )
     else:
         X, U, it, J, lamb = batched_optimize(

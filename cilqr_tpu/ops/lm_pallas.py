@@ -319,7 +319,7 @@ def _run_iteration(p: SolverParams, S: int, M: int, K: int, H: int, W: int,
                    has_obs: bool, has_unc: bool, max_unroll: int,
                    closest_point, obs_ref, m4_ref, scl_ref,
                    X_ref, U_ref, lamb,
-                   Xn_ref, Un_ref, k_ref, K_ref):
+                   Xn_ref, Un_ref, k_ref, K_ref, uext_ref=None):
     """One LM iteration on refs: derivatives + backward Riccati (k/K into
     scratch) + closed-loop forward rollout into (Xn_ref, Un_ref).  Returns
     the acceptance-cost plane J of the *input* trajectory (iLQR.cpp:217).
@@ -446,8 +446,17 @@ def _run_iteration(p: SolverParams, S: int, M: int, K: int, H: int, W: int,
                     s01 = _padd(s01, s2 * gx * gy)
                     s11 = _padd(s11, s2 * gy * gy)
 
-        if has_unc:
-            e, gx, gy = unc_sample(x0, x1)
+        if has_unc or uext_ref is not None:
+            if has_unc:
+                e, gx, gy = unc_sample(x0, x1)
+            else:
+                # external per-scenario sample planes (the hybrid path for
+                # batched uncertainty maps that cannot fit VMEM per lane):
+                # (e, gx, gy) computed by XLA at this iteration's X — see
+                # fused_optimize's unc_sampler
+                e = uext_ref[0, j, 0]
+                gx = uext_ref[0, j, 1]
+                gy = uext_ref[0, j, 2]
             s1 = (wunc * q2u) * e
             s2 = (wunc * q2u * q2u) * e
             lx0 = lx0 + s1 * gx
@@ -648,15 +657,21 @@ def _run_iteration(p: SolverParams, S: int, M: int, K: int, H: int, W: int,
 
 
 def _iter_kernel(p: SolverParams, S: int, M: int, K: int, H: int, W: int,
-                 has_obs: bool, has_unc: bool, max_unroll: int, refs):
-    (fit_ref, sxy_ref, X_ref, U_ref, lamb_ref, obs_ref, m4_ref, scl_ref,
-     Xn_ref, Un_ref, J_ref, k_ref, K_ref) = refs
+                 has_obs: bool, has_unc: bool, max_unroll: int,
+                 has_unc_ext: bool, refs):
+    if has_unc_ext:
+        (fit_ref, sxy_ref, X_ref, U_ref, lamb_ref, uext_ref, obs_ref, m4_ref,
+         scl_ref, Xn_ref, Un_ref, J_ref, k_ref, K_ref) = refs
+    else:
+        (fit_ref, sxy_ref, X_ref, U_ref, lamb_ref, obs_ref, m4_ref, scl_ref,
+         Xn_ref, Un_ref, J_ref, k_ref, K_ref) = refs
+        uext_ref = None
     fp = _read_fitp(p, fit_ref)
     J_ref[0, 0] = _run_iteration(
         p, S, M, K, H, W, has_obs, has_unc, max_unroll,
         _make_closest_point(S, fp, sxy_ref), obs_ref, m4_ref, scl_ref,
         X_ref, U_ref, lamb_ref[0, 0],
-        Xn_ref, Un_ref, k_ref, K_ref,
+        Xn_ref, Un_ref, k_ref, K_ref, uext_ref=uext_ref,
     )
 
 
@@ -762,7 +777,7 @@ def _auto_interpret(interpret):
 
 
 def fused_iteration(p: SolverParams, world: WorldPrep, fit_t, sxy_t, X_t, U_t,
-                    lamb_t, interpret=None):
+                    lamb_t, uext_t=None, interpret=None):
     """One full LM iteration (derivs + backward + forward + J) per tile.
 
     Args (tile layout, f32):
@@ -784,28 +799,42 @@ def fused_iteration(p: SolverParams, world: WorldPrep, fit_t, sxy_t, X_t, U_t,
 
     kern = functools.partial(
         _iter_kernel, p, S, M, K, H, W, world.has_obs, world.has_unc,
-        1 if interpret else 10,
+        1 if interpret else 10, uext_t is not None,
     )
 
-    def kernel_entry(fit_r, sxy_r, X_r, U_r, lamb_r, obs_r, m4_r, scl_r,
-                     Xn_r, Un_r, J_r, k_s, K_s):
-        kern((fit_r, sxy_r, X_r, U_r, lamb_r, obs_r, m4_r, scl_r,
-              Xn_r, Un_r, J_r, k_s, K_s))
+    if uext_t is None:
+        def kernel_entry(fit_r, sxy_r, X_r, U_r, lamb_r, obs_r, m4_r, scl_r,
+                         Xn_r, Un_r, J_r, k_s, K_s):
+            kern((fit_r, sxy_r, X_r, U_r, lamb_r, obs_r, m4_r, scl_r,
+                  Xn_r, Un_r, J_r, k_s, K_s))
+    else:
+        def kernel_entry(fit_r, sxy_r, X_r, U_r, lamb_r, uext_r, obs_r, m4_r,
+                         scl_r, Xn_r, Un_r, J_r, k_s, K_s):
+            kern((fit_r, sxy_r, X_r, U_r, lamb_r, uext_r, obs_r, m4_r, scl_r,
+                  Xn_r, Un_r, J_r, k_s, K_s))
 
     C = fit_t.shape[1]
+    in_specs = [
+        _spec(C, 1),
+        _spec(S, 3),
+        _spec(N + 1, 4),
+        _spec(N, 2),
+        _PLANE_SPEC,
+    ]
+    args = [fit_t, sxy_t, X_t, U_t, lamb_t]
+    if uext_t is not None:
+        in_specs.append(_spec(N, 3))
+        args.append(uext_t)
+    in_specs += [
+        _shared(world.obs, pltpu.SMEM),
+        _shared(world.m4, pltpu.VMEM),
+        _shared(world.scl, pltpu.SMEM),
+    ]
+    args += [world.obs, world.m4, world.scl]
     Xn_t, Un_t, J_t = pl.pallas_call(
         kernel_entry,
         grid=(G,),
-        in_specs=[
-            _spec(C, 1),
-            _spec(S, 3),
-            _spec(N + 1, 4),
-            _spec(N, 2),
-            _PLANE_SPEC,
-            _shared(world.obs, pltpu.SMEM),
-            _shared(world.m4, pltpu.VMEM),
-            _shared(world.scl, pltpu.SMEM),
-        ],
+        in_specs=in_specs,
         out_specs=[_spec(N + 1, 4), _spec(N, 2), _PLANE_SPEC],
         out_shape=[
             jax.ShapeDtypeStruct((G, N + 1, 4, _TS, _TL), f32),
@@ -817,7 +846,7 @@ def fused_iteration(p: SolverParams, world: WorldPrep, fit_t, sxy_t, X_t, U_t,
             pltpu.VMEM((1, N, 8, _TS, _TL), f32),
         ],
         interpret=interpret,
-    )(fit_t, sxy_t, X_t, U_t, lamb_t, world.obs, world.m4, world.scl)
+    )(*args)
     return Xn_t, Un_t, J_t[:, 0]
 
 
@@ -893,6 +922,7 @@ def fused_optimize(
     unc_map=None,
     interpret=None,
     inkernel_loop: bool = True,
+    unc_sampler=None,
 ):
     """LM loop (iLQR.cpp:211-239 semantics, per-lane masks) carried entirely
     in kernel tile layout.  Default: the whole loop runs inside ONE kernel
@@ -901,7 +931,19 @@ def fused_optimize(
     one-kernel-call-per-iteration form with XLA accept/reject bookkeeping
     (same numerics, used as a cross-check).
 
+    unc_sampler: hybrid mode for PER-SCENARIO uncertainty maps (which
+    cannot fit the kernel's VMEM per lane): a callable
+    (B, N, 4) states -> (B, N, 3) planes [e, gx, gy]
+    (models/uncertainty.uncertainty_sample semantics) evaluated by XLA at
+    each iteration's current trajectory and fed to the kernel as external
+    sample planes.  Forces the per-iteration loop; mutually exclusive with
+    ``unc_map``.
+
     Same signature/return as ``solver_batched.batched_optimize``."""
+    if unc_sampler is not None:
+        if unc_map is not None:
+            raise ValueError("unc_sampler and unc_map are mutually exclusive")
+        inkernel_loop = False
     B = x0s.shape[0]
     if B % TILE:
         raise ValueError(f"batch {B} must be a multiple of {TILE}")
@@ -936,8 +978,15 @@ def fused_optimize(
 
     def body(carry):
         X, U, J_old, lamb, it, done = carry
+        uext_t = None
+        if unc_sampler is not None:
+            Xb = _from_tiles(X, B, (4,))  # (B, N+1, 4)
+            uext_t = _to_tiles(
+                unc_sampler(Xb[:, : p.horizon]).astype(f32), B
+            )
         Xn, Un, J_new = fused_iteration(
-            p, world, fit_t, sxy_t, X, U, lamb[:, None], interpret=interpret
+            p, world, fit_t, sxy_t, X, U, lamb[:, None], uext_t=uext_t,
+            interpret=interpret,
         )
         accept = J_new < J_old
         acc5 = accept[:, None, None, :, :]

@@ -184,11 +184,12 @@ def monte_carlo(
     umaps = unc_mod.UncertaintyMap(
         unc_vals, jax.tree.map(bc, geom), bc(origin_xy), bc(origin_yaw)
     )
-    obs_b = None if obstacles is None else jax.tree.map(bc, obstacles)
     U0s = jnp.broadcast_to(U0, (B,) + U0.shape)
+    # hybrid mega solve: obstacles stay shared in-kernel, the per-scenario
+    # maps are sampled by XLA at each iteration's trajectory
     return solver_batched.run_steps_batched(
-        p, plan_xy, plan_n, samples.egos, U0s, obs_b, umaps,
-        impl="two_phase", world_batched=True,
+        p, plan_xy, plan_n, samples.egos, U0s, obstacles, umaps,
+        impl="mega", world_batched=True,
     )
 
 
