@@ -115,8 +115,9 @@ def main():
 
     extras = {}
     if os.environ.get("BENCH_MC", "0") == "1":
-        # Config-3 Monte-Carlo: per-scenario sampled covariance -> batched
-        # Pallas costmap propagation -> world_batched two-phase solve.
+        # Config-3 Monte-Carlo: per-scenario sampled covariance -> banded
+        # Pallas costmap propagation -> hybrid mega solve (per-scenario
+        # maps sampled by XLA each iteration).
         # Vehicle-frame map (lever arm <= ~32 m); sigma range matches the
         # reference's experiment magnitudes (Experiment.launch:7-12:
         # sigma_xy=0.16, sigma_theta=0.017), for which the default
@@ -154,8 +155,8 @@ def main():
                 p, cp, mc_prior, mc_geom,
                 jnp.asarray(base_ego[:2], jnp.float32),
                 jnp.asarray(base_ego[3], jnp.float32),
-                plan, n, mc_mod.MCSample(sg, eg), obstacles, impl="fast",
-                band_plan=band_plan,
+                plan, n, mc_mod.MCSample(sg, eg), obstacles,
+                sigma_hi=sigma_hi, impl="fast", band_plan=band_plan,
             )
         )
         o = mc_fn(mc_samples[0].sigmas, mc_samples[0].egos)

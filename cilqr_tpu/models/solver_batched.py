@@ -54,13 +54,15 @@ def batched_optimize(
     big = jnp.full((B,), jnp.finfo(dtype).max, dtype)
 
     if world_batched:
+        # per-world axes by inspection: a batched obstacle pytree has a
+        # leading scenario axis on pos (ndim 4); shared worlds broadcast
+        ob_ax = 0 if (obstacles is not None and obstacles.pos.ndim == 4) else None
+        um_ax = 0 if unc_map is not None else None
         inner = jax.vmap(
             lambda pl_, Xi, Ui, ob, um: costs_mod.all_cost_derivs_and_J(
                 p, pl_, Xi, Ui, ob, um, unc_onehot=False
             ),
-            in_axes=(0, 0, 0,
-                     0 if obstacles is not None else None,
-                     0 if unc_map is not None else None),
+            in_axes=(0, 0, 0, ob_ax, um_ax),
         )
         derivs_J = lambda pls, Xi, Ui: inner(pls, Xi, Ui, obstacles, unc_map)
     else:
@@ -135,6 +137,14 @@ def run_steps_batched(
     kernel — while impl="two_phase" keeps everything (including batched
     obstacles) in the XLA derivative phase."""
     B = egos.shape[0]
+    # the hybrid mega path keeps obstacles in-kernel (shared-world payload);
+    # per-scenario obstacle pytrees (leading B axis on pos) keep the old
+    # fully-batched two-phase route
+    obs_batched = (
+        world_batched and obstacles is not None and obstacles.pos.ndim == 4
+    )
+    if impl == "mega" and obs_batched:
+        impl = "two_phase"
     pad = (-B) % riccati_pallas.TILE
     if pad:
         egos = jnp.concatenate(
@@ -147,7 +157,7 @@ def run_steps_batched(
             padfn = lambda a: jnp.concatenate(
                 [a, jnp.broadcast_to(a[:1], (pad,) + a.shape[1:])], axis=0
             )
-            if impl != "mega":
+            if obs_batched:
                 obstacles = None if obstacles is None else jax.tree.map(padfn, obstacles)
             unc_map = None if unc_map is None else jax.tree.map(padfn, unc_map)
     plans = jax.vmap(lambda e: get_local_plan(p, plan_xy, plan_n, e))(egos)

@@ -117,15 +117,7 @@ def sample_bilinear_with_grad_batched(data: jax.Array, geom: GridGeom,
     v10 = jnp.sum(R1 * col0, axis=-1)
     v11 = jnp.sum(R1 * col1, axis=-1)
 
-    v0 = v00 * (1 - tj) + v01 * tj
-    v1 = v10 * (1 - tj) + v11 * tj
-    val = v0 * (1 - ti) + v1 * ti
-
-    dv_di = v1 - v0
-    dv_dj = (v01 - v00) * (1 - ti) + (v11 - v10) * ti
-    inv = -1.0 / res  # (B, 1)
-    grad = jnp.stack([dv_di * inv, dv_dj * inv], axis=-1)
-    return val, grad
+    return _bilinear_tail(v00, v01, v10, v11, ti, tj, -1.0 / res)
 
 
 def sample_nearest(data: jax.Array, geom: GridGeom, pos: jax.Array) -> jax.Array:
@@ -135,6 +127,23 @@ def sample_nearest(data: jax.Array, geom: GridGeom, pos: jax.Array) -> jax.Array
     i = jnp.clip(idx[..., 0], 0, data.shape[0] - 1)
     j = jnp.clip(idx[..., 1], 0, data.shape[1] - 1)
     return data[i, j]
+
+
+def _bilinear_tail(v00, v01, v10, v11, ti, tj, inv):
+    """Shared interpolation + gradient tail of the bilinear samplers.
+
+    ``inv`` = d index / d pos = -1/resolution on both axes (indices grow
+    against position); broadcastable against the corner values.  One
+    definition keeps the single-map, batched-map, and (by mirrored ops)
+    in-kernel samplers semantically locked together."""
+    v0 = v00 * (1 - tj) + v01 * tj
+    v1 = v10 * (1 - tj) + v11 * tj
+    val = v0 * (1 - ti) + v1 * ti
+
+    dv_di = v1 - v0
+    dv_dj = (v01 - v00) * (1 - ti) + (v11 - v10) * ti
+    grad = jnp.stack([dv_di * inv, dv_dj * inv], axis=-1)
+    return val, grad
 
 
 def sample_bilinear_with_grad(data: jax.Array, geom: GridGeom, pos: jax.Array,
@@ -183,16 +192,7 @@ def sample_bilinear_with_grad(data: jax.Array, geom: GridGeom, pos: jax.Array,
         v10 = data[i0 + 1, j0]
         v11 = data[i0 + 1, j0 + 1]
 
-    v0 = v00 * (1 - tj) + v01 * tj
-    v1 = v10 * (1 - tj) + v11 * tj
-    val = v0 * (1 - ti) + v1 * ti
-
-    dv_di = v1 - v0
-    dv_dj = (v01 - v00) * (1 - ti) + (v11 - v10) * ti
-    # d index / d pos = -1/res on both axes (indices grow against position)
-    inv = -1.0 / geom.resolution
-    grad = jnp.stack([dv_di * inv, dv_dj * inv], axis=-1)
-    return val, grad
+    return _bilinear_tail(v00, v01, v10, v11, ti, tj, -1.0 / geom.resolution)
 
 
 def rasterize_polygon(geom: GridGeom, rows: int, cols: int, vertices: jax.Array) -> jax.Array:

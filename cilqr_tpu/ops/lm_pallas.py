@@ -38,9 +38,13 @@ differ by O(1e-7·J) — enough to flip an LM accept decision on an exact tie.
 Trajectory-level parity (the BASELINE 1e-3 bar) is unaffected; per-lane
 iteration counts may differ by ±1 in rare lanes vs the vmap path.
 
-Shared-world restriction: obstacles and the uncertainty map are shared
-across the batch (the Monte-Carlo setting, matching ``solver_batched``'s
-callers); per-scenario worlds should use the two-phase path.
+World payloads: obstacles and the VMEM-resident uncertainty map are
+shared across the batch.  PER-SCENARIO uncertainty maps (which cannot fit
+VMEM per lane) use the HYBRID mode — ``fused_optimize(unc_sampler=...)``
+samples each scenario's own map by XLA every LM iteration and feeds
+(e, gx, gy) planes to the kernel; see solver_batched.run_steps_batched
+(world_batched=True).  Per-scenario OBSTACLES fall back to the two-phase
+path.
 """
 
 from __future__ import annotations
@@ -784,7 +788,10 @@ def fused_iteration(p: SolverParams, world: WorldPrep, fit_t, sxy_t, X_t, U_t,
       fit_t: (G, poly_order+11, 1, 8, 128) fit payload (``_fit_payload``);
       sxy_t: (G, S, 3, 8, 128) local sample channels [sxl, syl, r];
       X_t: (G, N+1, 4, 8, 128); U_t: (G, N, 2, 8, 128);
-      lamb_t: (G, 1, 8, 128).
+      lamb_t: (G, 1, 8, 128);
+      uext_t: optional (G, N, 3, 8, 128) external uncertainty sample
+        planes [e, gx, gy] (the hybrid per-scenario-map mode — replaces
+        the in-kernel sampler; world.has_unc must be False).
     Returns (Xn_t, Un_t, J (G, 8, 128)) — J is the acceptance cost of the
     *input* trajectory (iLQR.cpp:217 semantics, see solver.optimize).
     """

@@ -22,6 +22,7 @@ Design:
 from __future__ import annotations
 
 import functools
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -102,17 +103,6 @@ def _kernel(R: int, res: float, chi2: float, rows: int, cols: int,
     out_ref[:] = _finish(num, den, psd_ref[:], prior_ref[:])
 
 
-def _kernel_batched(R: int, res: float, chi2: float, rows: int, cols: int,
-                    prior_pad_ref, sx_ref, sy_ref, rho_ref, psd_ref,
-                    prior_ref, out_ref):
-    """grid=(B,) variant: per-scenario covariance fields over one shared
-    prior — the BASELINE config-3/5 Monte-Carlo layout.  Per-b refs carry a
-    leading block dim of 1; same math as ``_kernel`` op-for-op."""
-    num, den = _accumulate(R, res, chi2, rows, cols, prior_pad_ref,
-                           sx_ref[0], sy_ref[0], rho_ref[0])
-    out_ref[0] = _finish(num, den, psd_ref[0], prior_ref[:])
-
-
 @functools.partial(jax.jit, static_argnums=(0, 4, 5))
 def _propagate(cp: CostmapParams, prior, xs, ys, faithful_rho: bool, interpret: bool, ego_yaw):
     rows, cols = prior.shape
@@ -158,6 +148,49 @@ def propagate_uncertainty_tpu(
     return _propagate(cp, prior, xs, ys, faithful_rho, interpret, ego_yaw)
 
 
+def _kernel_band(R: int, res: float, chi2: float, band_rows: int, cols: int,
+                 row0: int, total_rows: int,
+                 prior_pad_ref, sx_ref, sy_ref, rho_ref, psd_ref,
+                 prior_ref, out_ref):
+    """grid=(B,) program for one row band of one scenario: per-scenario
+    covariance fields over one shared R-padded prior.  row0=0 with
+    band_rows=total_rows is the plain full-map batched case."""
+    num, den = _accumulate(R, res, chi2, band_rows, cols, prior_pad_ref,
+                           sx_ref[0], sy_ref[0], rho_ref[0],
+                           row0=row0, total_rows=total_rows)
+    out_ref[0] = _finish(num, den, psd_ref[0], prior_ref[:])
+
+
+class BandPlan(NamedTuple):
+    """Static row-band decomposition for batched propagation.
+
+    bands: ((row0, band_rows, radius), ...) contiguous from row 0;
+    sigma_hi: the (sigma_x, sigma_y, sigma_theta) upper bound the radii
+    cover — consumers cross-check their own sampling bound against it
+    (None when the plan is a plain full-map window).
+    """
+
+    bands: tuple
+    sigma_hi: tuple | None
+
+
+def _prep_fields(cp: CostmapParams, geom, ego_yaw, sigmas, faithful_rho,
+                 rows: int, cols: int):
+    """Per-scenario covariance fields (sx, sy, rho, psd), f32, (B, rows, cols)."""
+    xs, ys = gridmap.cell_positions(geom, rows, cols)
+
+    def fields(sg):
+        sx, sy, rho = costmap_mod.cell_sigma_rho(
+            cp, xs, ys, ego_yaw, faithful=faithful_rho,
+            sigmas=(sg[0], sg[1], sg[2]),
+        )
+        psd = (jnp.abs(rho) < 1.0).astype(jnp.float32)
+        rho = jnp.where(psd > 0, rho, 0.0).astype(jnp.float32)
+        return sx.astype(jnp.float32), sy.astype(jnp.float32), rho, psd
+
+    return jax.vmap(fields)(sigmas)
+
+
 def propagate_uncertainty_tpu_batched(
     cp: CostmapParams,
     prior: jax.Array,
@@ -176,83 +209,39 @@ def propagate_uncertainty_tpu_batched(
     kernel reruns the single-map program per grid step with the shared
     R-padded prior resident in VMEM.
 
+    Single full-map band of ``cp.window_radius``; see
+    ``propagate_uncertainty_tpu_banded`` + ``make_band_plan`` for the
+    banded (2-4x cheaper, still exact) variant.
+
     Args:
       sigmas: (B, 3) per-scenario (sigma_x, sigma_y, sigma_theta).
     Returns: (B, rows, cols) in the prior's dtype.
 
     ``interpret=None`` auto-selects the Pallas interpreter on CPU.
     """
-    if interpret is None:
-        interpret = jax.default_backend() == "cpu"
-    rows, cols = prior.shape
-    R = cp.window_radius
-    xs, ys = gridmap.cell_positions(geom, rows, cols)
-    prior32 = prior.astype(jnp.float32)
-
-    def fields(sg):
-        sx, sy, rho = costmap_mod.cell_sigma_rho(
-            cp, xs, ys, ego_yaw, faithful=faithful_rho,
-            sigmas=(sg[0], sg[1], sg[2]),
-        )
-        psd = (jnp.abs(rho) < 1.0).astype(jnp.float32)
-        rho = jnp.where(psd > 0, rho, 0.0).astype(jnp.float32)
-        return sx.astype(jnp.float32), sy.astype(jnp.float32), rho, psd
-
-    sxb, syb, rhob, psdb = jax.vmap(fields)(sigmas)
-    prior_pad = jnp.pad(prior32, R)
-    B = sigmas.shape[0]
-
-    kern = functools.partial(
-        _kernel_batched, R, float(cp.resolution), float(cp.chisquare_val**2),
-        rows, cols,
+    rows = prior.shape[0]
+    plan = BandPlan(((0, rows, cp.window_radius),), None)
+    return propagate_uncertainty_tpu_banded(
+        cp, prior, geom, ego_yaw, sigmas, plan,
+        faithful_rho=faithful_rho, interpret=interpret,
     )
-    per_b = pl.BlockSpec((1, rows, cols), lambda b: (b, 0, 0),
-                         memory_space=pltpu.VMEM)
-    shared = lambda arr: pl.BlockSpec(
-        arr.shape, lambda b: (0,) * arr.ndim, memory_space=pltpu.VMEM
-    )
-    out = pl.pallas_call(
-        kern,
-        grid=(B,),
-        in_specs=[shared(prior_pad), per_b, per_b, per_b, per_b, shared(prior32)],
-        out_specs=per_b,
-        out_shape=jax.ShapeDtypeStruct((B, rows, cols), jnp.float32),
-        cost_estimate=pl.CostEstimate(
-            flops=B * (2 * R + 1) ** 2 * rows * cols * 12,
-            bytes_accessed=4 * rows * cols * (5 * B + 2),
-            transcendentals=B * (2 * R + 1) ** 2 * rows * cols,
-        ),
-        interpret=interpret,
-    )(prior_pad, sxb, syb, rhob, psdb, prior32)
-    return out.astype(prior.dtype)
-
-
-def _kernel_band(R: int, res: float, chi2: float, band_rows: int, cols: int,
-                 row0: int, total_rows: int,
-                 prior_pad_ref, sx_ref, sy_ref, rho_ref, psd_ref,
-                 prior_ref, out_ref):
-    """One row band of one scenario (see propagate_uncertainty_tpu_banded)."""
-    num, den = _accumulate(R, res, chi2, band_rows, cols, prior_pad_ref,
-                           sx_ref[0], sy_ref[0], rho_ref[0],
-                           row0=row0, total_rows=total_rows)
-    out_ref[0] = _finish(num, den, psd_ref[0], prior_ref[:])
 
 
 def make_band_plan(cp: CostmapParams, rows: int, cols: int, center,
-                   sigma_hi, max_bands: int = 4):
+                   sigma_hi, max_bands: int = 4) -> BandPlan:
     """Static row bands with per-band window radii for banded propagation.
 
     The fixed-window kernel sizes its (2R+1)^2 accumulation for the WORST
     cell of the map (``required_window_radius``'s corner bound), but the
-    required radius grows with the per-cell lever arm |cell| — near-ego
-    rows need a fraction of the corner radius.  Splitting the rows into
-    contiguous bands whose radius is that band's own worst-row bound cuts
-    the accumulation FLOPs ~2-4x EXACTLY: a window that covers every
-    cell's 95% ellipse yields bit-identical results (outside-ellipse
-    offsets contribute w = 0).
+    required 95%-ellipse radius grows with the per-cell lever arm |cell| —
+    near-ego rows need a fraction of the corner radius.  Splitting the
+    rows into contiguous bands whose radius is that band's own worst-row
+    bound cuts the accumulation FLOPs ~2-4x EXACTLY: a window that covers
+    every cell's 95% ellipse yields bit-identical results
+    (outside-ellipse offsets contribute w = 0).
 
-    Returns a static tuple of (row0, band_rows, radius), hashable for jit
-    closures.  Must be built OUTSIDE jit (concrete center).
+    Returns a hashable ``BandPlan`` carrying the sigma_hi bound it covers.
+    Must be built OUTSIDE jit (concrete center).
     """
     import numpy as _np
 
@@ -272,12 +261,12 @@ def make_band_plan(cp: CostmapParams, rows: int, cols: int, center,
     need = _np.maximum(need, 1)
     n_b = min(max_bands, rows)
     bounds = _np.linspace(0, rows, n_b + 1).astype(int)
-    plan = []
+    bands = []
     for i in range(n_b):
         r0, r1 = int(bounds[i]), int(bounds[i + 1])
         if r1 > r0:
-            plan.append((r0, r1 - r0, int(need[r0:r1].max())))
-    return tuple(plan)
+            bands.append((r0, r1 - r0, int(need[r0:r1].max())))
+    return BandPlan(tuple(bands), (float(s_x), float(s_y), float(s_t)))
 
 
 def propagate_uncertainty_tpu_banded(
@@ -297,23 +286,25 @@ def propagate_uncertainty_tpu_banded(
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
     rows, cols = prior.shape
-    xs, ys = gridmap.cell_positions(geom, rows, cols)
-    prior32 = prior.astype(jnp.float32)
-
-    def fields(sg):
-        sx, sy, rho = costmap_mod.cell_sigma_rho(
-            cp, xs, ys, ego_yaw, faithful=faithful_rho,
-            sigmas=(sg[0], sg[1], sg[2]),
+    bands = band_plan.bands if isinstance(band_plan, BandPlan) else tuple(band_plan)
+    covered = 0
+    for (r0, br, _) in bands:
+        if r0 != covered:
+            raise ValueError(f"band plan not contiguous at row {covered}: {bands}")
+        covered += br
+    if covered != rows:
+        raise ValueError(
+            f"band plan covers {covered} rows but the prior has {rows} — "
+            "stale plan for a different map shape"
         )
-        psd = (jnp.abs(rho) < 1.0).astype(jnp.float32)
-        rho = jnp.where(psd > 0, rho, 0.0).astype(jnp.float32)
-        return sx.astype(jnp.float32), sy.astype(jnp.float32), rho, psd
-
-    sxb, syb, rhob, psdb = jax.vmap(fields)(sigmas)
+    prior32 = prior.astype(jnp.float32)
+    sxb, syb, rhob, psdb = _prep_fields(
+        cp, geom, ego_yaw, sigmas, faithful_rho, rows, cols
+    )
     B = sigmas.shape[0]
 
     outs = []
-    for (r0, br, Rb) in band_plan:
+    for (r0, br, Rb) in bands:
         prior_pad = jnp.pad(prior32, Rb)
         kern = functools.partial(
             _kernel_band, Rb, float(cp.resolution),
@@ -341,4 +332,6 @@ def propagate_uncertainty_tpu_banded(
         )(prior_pad, sl(sxb), sl(syb), sl(rhob), sl(psdb),
           prior32[r0 : r0 + br])
         outs.append(out)
+    if len(outs) == 1:
+        return outs[0].astype(prior.dtype)
     return jnp.concatenate(outs, axis=1).astype(prior.dtype)

@@ -171,6 +171,15 @@ def monte_carlo(
     from cilqr_tpu.ops import uncertainty_pallas
 
     if band_plan is not None:
+        plan_hi = getattr(band_plan, "sigma_hi", None)
+        if plan_hi is not None and any(
+            ph < h for ph, h in zip(plan_hi, sigma_hi)
+        ):
+            raise ValueError(
+                f"band_plan covers sigma_hi={plan_hi} but sampling bound is "
+                f"{tuple(sigma_hi)} — rebuild the plan with the larger bound "
+                "(a too-small band radius silently truncates the 95% ellipse)"
+            )
         unc_vals = uncertainty_pallas.propagate_uncertainty_tpu_banded(
             cp, prior, geom, origin_yaw, samples.sigmas, band_plan
         )

@@ -39,3 +39,54 @@ def test_batched_solver_matches_vmap_path(params, global_plan):
     np.testing.assert_allclose(np.asarray(got.U[:S]), np.asarray(want.U), rtol=2e-3, atol=2e-3)
     np.testing.assert_allclose(np.asarray(got.X[:S]), np.asarray(want.X), rtol=2e-3, atol=2e-2)
     np.testing.assert_allclose(np.asarray(got.J[:S]), np.asarray(want.J), rtol=1e-4)
+
+
+def test_world_batched_obstacles_fall_back_to_two_phase(params, global_plan):
+    """impl="mega" with PER-SCENARIO obstacle pytrees silently routes to the
+    fully-batched two-phase pipeline (the mega kernel's obstacle payload is
+    shared-world only) and matches the per-sample vmap reference."""
+    import dataclasses
+
+    from cilqr_tpu.models import obstacles as obs_mod, uncertainty as unc_mod
+
+    p = dataclasses.replace(params, horizon=5, max_iterations=2)
+    plan, n = rp.pad_global_plan(p, global_plan, dtype=jnp.float64)
+    B = 4
+    rng = np.random.default_rng(9)
+    egos = jnp.asarray(
+        np.array([100.0, -305.6, 4.0, 0.05])[None, :] + rng.normal(0, 0.2, (B, 4))
+    )
+    U0 = jnp.broadcast_to(solver.initial_controls(p, dtype=jnp.float64),
+                          (B, p.horizon, 2))
+    ob = obs_mod.make_static_obstacles(
+        p, [[108.0, -305.5]], [[3.63, 1.84]], [0.1], dtype=jnp.float64
+    )
+    ob_b = jax.tree.map(
+        lambda a: jnp.broadcast_to(a, (B,) + a.shape), ob
+    )
+    vals = jnp.asarray(rng.uniform(0, 100, (B, 12, 10)))
+    geom1 = __import__("cilqr_tpu.ops.gridmap", fromlist=["x"]).make_geom(
+        [104.0, -305.0], 0.5, 12, 10, dtype=jnp.float64
+    )
+    bc = lambda a: jnp.broadcast_to(jnp.asarray(a), (B,) + jnp.shape(a))
+    um_b = unc_mod.UncertaintyMap(
+        vals, jax.tree.map(bc, geom1),
+        bc(jnp.asarray([100.0, -305.6])), bc(jnp.asarray(0.05)),
+    )
+
+    got = solver_batched.run_steps_batched(
+        p, plan, n, egos, U0, ob_b, um_b, impl="mega", world_batched=True
+    )
+    want = jax.vmap(
+        lambda e, u, v: solver.run_step(
+            p, plan, n, e, u, ob,
+            unc_mod.UncertaintyMap(v, geom1, jnp.asarray([100.0, -305.6]),
+                                   jnp.asarray(0.05)),
+        )
+    )(egos, U0, vals)
+    np.testing.assert_array_equal(
+        np.asarray(got.iterations), np.asarray(want.iterations)
+    )
+    # two_phase runs the f32 Riccati kernel against the f64 reference
+    np.testing.assert_allclose(np.asarray(got.U), np.asarray(want.U),
+                               rtol=2e-3, atol=2e-3)

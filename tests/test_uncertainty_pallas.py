@@ -66,7 +66,9 @@ def test_banded_kernel_bit_identical_to_full_window():
     sigmas = jnp.asarray(np.concatenate([sig_xy, sig_t], axis=1), jnp.float32)
 
     plan = uncertainty_pallas.make_band_plan(cp, 40, 20, (4.0, 0.0), sigma_hi)
-    assert len(plan) >= 2 and all(r <= cp.window_radius for _, _, r in plan)
+    assert plan.sigma_hi == sigma_hi
+    assert len(plan.bands) >= 2
+    assert all(r <= cp.window_radius for _, _, r in plan.bands)
     banded = uncertainty_pallas.propagate_uncertainty_tpu_banded(
         cp, prior, geom, yaw, sigmas, plan, interpret=True
     )
