@@ -169,6 +169,41 @@ def main():
         )
         extras["mc_window_radius"] = cp.window_radius
 
+    if os.environ.get("BENCH_FULL_STACK", "0") == "1":
+        # The COMPLETE reference pipeline batched: per cycle, every scenario
+        # rebuilds its own vehicle-frame uncertainty costmap (batched Pallas
+        # propagation, per-scenario frames) and replans via the hybrid mega
+        # solver.  The scaled replacement for N parallel CARLA+ROS stacks.
+        from cilqr_tpu.ops import gridmap
+        from cilqr_tpu.sim import plant
+        from cilqr_tpu.utils.params import CostmapParams, NoiseParams
+
+        cpf = CostmapParams()
+        Bfs = int(os.environ.get("BENCH_FS_BATCH", "4096"))
+        n_cyc = 5
+        gmap = jnp.zeros((256, 256), jnp.float32)
+        ggeom = gridmap.make_geom(
+            [110.0, -300.0], 0.5, 256, 256, dtype=jnp.float32
+        )
+        x0s = jnp.asarray(
+            np.asarray(ego)[None, :] + rng.normal(0, 0.3, (Bfs, 4)),
+            jnp.float32,
+        )
+        fs = jax.jit(
+            lambda x, k: plant.closed_loop_full_stack_batched(
+                p, cpf, NoiseParams(), gmap, ggeom, plan, n, x, k, n_cyc,
+                obstacles=obstacles,
+            )
+        )
+        o = fs(x0s, jax.random.key(0))
+        jax.block_until_ready(o)
+        t0 = time.perf_counter()
+        o = fs(x0s + 1e-4, jax.random.key(1))
+        jax.block_until_ready(o)
+        extras["full_stack_cycles_per_sec"] = round(
+            n_cyc * Bfs / (time.perf_counter() - t0), 1
+        )
+
     if os.environ.get("BENCH_CLOSED_LOOP", "0") == "1":
         from cilqr_tpu.sim import plant
         from cilqr_tpu.utils.params import NoiseParams

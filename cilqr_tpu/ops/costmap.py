@@ -348,7 +348,7 @@ def propagate_uncertainty_reference(
     return jnp.where(psd & (den > 0), jnp.clip(num / den, 0.0, 100.0), prior)
 
 
-def build_local_costmap(
+def _costmap_pre(
     cp: CostmapParams,
     global_map: jax.Array,
     global_geom: gridmap.GridGeom,
@@ -359,9 +359,9 @@ def build_local_costmap(
     obs_size: jax.Array,
     obs_yaw: jax.Array,
     obs_mask: jax.Array,
-    use_pallas: bool = False,
-) -> LocalCostmap:
-    """Full costmap tick (odomCallback, local_costmap.cpp:172-310)."""
+):
+    """Everything before the uncertainty propagation: corridor geometry,
+    corridor mask, obstacle rasterization, prior sampling + bbox override."""
     rows, cols = cp.rows, cp.cols
     ego_xy = ego_state[:2]
     ego_yaw = ego_state[3]
@@ -387,6 +387,29 @@ def build_local_costmap(
     prior = sample_prior(geom, rows, cols, global_map, global_geom, ego_xy, ego_yaw)
     # bbox overrides prior where > 90 (local_costmap.cpp:260-263)
     vehicle_map = jnp.where(bbox > 90.0, bbox, prior)
+    return vehicle_map, bbox, corridor, geom
+
+
+def build_local_costmap(
+    cp: CostmapParams,
+    global_map: jax.Array,
+    global_geom: gridmap.GridGeom,
+    waypoints: jax.Array,
+    n_wpts: jax.Array,
+    ego_state: jax.Array,
+    obs_xy: jax.Array,
+    obs_size: jax.Array,
+    obs_yaw: jax.Array,
+    obs_mask: jax.Array,
+    use_pallas: bool = False,
+) -> LocalCostmap:
+    """Full costmap tick (odomCallback, local_costmap.cpp:172-310)."""
+    ego_xy = ego_state[:2]
+    ego_yaw = ego_state[3]
+    vehicle_map, bbox, corridor, geom = _costmap_pre(
+        cp, global_map, global_geom, waypoints, n_wpts, ego_state,
+        obs_xy, obs_size, obs_yaw, obs_mask,
+    )
 
     if use_pallas:
         from cilqr_tpu.ops import uncertainty_pallas
@@ -396,3 +419,56 @@ def build_local_costmap(
         unc = propagate_uncertainty_reference(cp, vehicle_map, geom, ego_yaw)
 
     return LocalCostmap(vehicle_map, bbox, unc, corridor, geom, ego_xy, ego_yaw)
+
+
+def build_local_costmap_batched(
+    cp: CostmapParams,
+    global_map: jax.Array,
+    global_geom: gridmap.GridGeom,
+    waypoints: jax.Array,
+    n_wpts: jax.Array,
+    ego_states: jax.Array,
+    obs_xy: jax.Array,
+    obs_size: jax.Array,
+    obs_yaw: jax.Array,
+    obs_mask: jax.Array,
+    use_pallas: bool = True,
+    band_plan=None,
+) -> LocalCostmap:
+    """Per-scenario costmap ticks for a (B, 4) ego batch, one shared world.
+
+    The pre-propagation stage (corridor geometry, rasterization, prior
+    sampling) is vmapped XLA; the uncertainty propagation runs the batched
+    Pallas kernel with PER-SCENARIO priors, frames, and yaws (grid over
+    scenarios).  ``band_plan`` (see uncertainty_pallas.make_band_plan,
+    built for the configured cp sigmas and a conservative vehicle-frame
+    center) cuts the propagation FLOPs 2-4x exactly.  Returns a
+    LocalCostmap whose leaves carry a leading B axis.
+    """
+    pre = jax.vmap(
+        lambda e: _costmap_pre(
+            cp, global_map, global_geom, waypoints, n_wpts, e,
+            obs_xy, obs_size, obs_yaw, obs_mask,
+        )
+    )
+    vehicle_map, bbox, corridor, geom = pre(ego_states)
+    yaws = ego_states[:, 3]
+
+    if use_pallas:
+        from cilqr_tpu.ops import uncertainty_pallas
+
+        if band_plan is None:
+            band_plan = uncertainty_pallas.BandPlan(
+                ((0, cp.rows, cp.window_radius),), None
+            )
+        unc = uncertainty_pallas.propagate_uncertainty_tpu_banded(
+            cp, vehicle_map, geom, yaws, None, band_plan
+        )
+    else:
+        unc = jax.vmap(
+            lambda vm, g, y: propagate_uncertainty_reference(cp, vm, g, y)
+        )(vehicle_map, geom, yaws)
+
+    return LocalCostmap(
+        vehicle_map, bbox, unc, corridor, geom, ego_states[:, :2], yaws
+    )

@@ -77,7 +77,10 @@ def _accumulate(R: int, res: float, chi2: float, rows: int, cols: int,
             # neighbor j at index offset (di-R, dj-R) -> position offset
             # (-(di-R)*res, -(dj-R)*res)
             dx = -(di - R).astype(jnp.float32) * res
-            p_j = prior_pad_ref[pl.ds(di + row0, rows), dj : dj + cols]
+            if prior_pad_ref.ndim == 3:  # per-scenario prior block (1, ., .)
+                p_j = prior_pad_ref[0, pl.ds(di + row0, rows), dj : dj + cols]
+            else:
+                p_j = prior_pad_ref[pl.ds(di + row0, rows), dj : dj + cols]
             in_map = col_ok & (row_id + (di - R) >= 0) & (row_id + (di - R) < total_rows)
             zx = dx * inv_sx
             q = zx * zx - 2.0 * rho * zx * zy + zy * zy
@@ -152,13 +155,16 @@ def _kernel_band(R: int, res: float, chi2: float, band_rows: int, cols: int,
                  row0: int, total_rows: int,
                  prior_pad_ref, sx_ref, sy_ref, rho_ref, psd_ref,
                  prior_ref, out_ref):
-    """grid=(B,) program for one row band of one scenario: per-scenario
-    covariance fields over one shared R-padded prior.  row0=0 with
-    band_rows=total_rows is the plain full-map batched case."""
+    """grid=(B,) program for one row band of one scenario.  The R-padded
+    prior is either shared across the grid (2-D ref — the Monte-Carlo
+    shared-prior case) or per-scenario (leading block dim of 1 — the
+    full-stack case where every scenario rebuilt its own vehicle map).
+    row0=0 with band_rows=total_rows is the plain full-map batched case."""
     num, den = _accumulate(R, res, chi2, band_rows, cols, prior_pad_ref,
                            sx_ref[0], sy_ref[0], rho_ref[0],
                            row0=row0, total_rows=total_rows)
-    out_ref[0] = _finish(num, den, psd_ref[0], prior_ref[:])
+    prior = prior_ref[0] if prior_ref.ndim == 3 else prior_ref[:]
+    out_ref[0] = _finish(num, den, psd_ref[0], prior)
 
 
 class BandPlan(NamedTuple):
@@ -176,19 +182,31 @@ class BandPlan(NamedTuple):
 
 def _prep_fields(cp: CostmapParams, geom, ego_yaw, sigmas, faithful_rho,
                  rows: int, cols: int):
-    """Per-scenario covariance fields (sx, sy, rho, psd), f32, (B, rows, cols)."""
-    xs, ys = gridmap.cell_positions(geom, rows, cols)
+    """Per-scenario covariance fields (sx, sy, rho, psd), f32, (B, rows, cols).
 
-    def fields(sg):
+    Any of (geom, ego_yaw, sigmas) may carry a leading scenario axis:
+    Monte-Carlo batches sigmas over a shared map frame; the full-stack
+    closed loop batches the frame (each scenario's own corridor-centered
+    geometry and yaw) with the configured shared sigmas (sigmas=None)."""
+    geom_ax = 0 if geom.center.ndim == 2 else None
+    yaw_ax = 0 if jnp.ndim(ego_yaw) == 1 else None
+    sig_ax = 0 if sigmas is not None else None
+    if geom_ax is None and yaw_ax is None and sig_ax is None:
+        raise ValueError("no batched input among (geom, ego_yaw, sigmas)")
+
+    def fields(geom1, yaw1, sg):
+        xs, ys = gridmap.cell_positions(geom1, rows, cols)
+        sig = None if sg is None else (sg[0], sg[1], sg[2])
         sx, sy, rho = costmap_mod.cell_sigma_rho(
-            cp, xs, ys, ego_yaw, faithful=faithful_rho,
-            sigmas=(sg[0], sg[1], sg[2]),
+            cp, xs, ys, yaw1, faithful=faithful_rho, sigmas=sig
         )
         psd = (jnp.abs(rho) < 1.0).astype(jnp.float32)
         rho = jnp.where(psd > 0, rho, 0.0).astype(jnp.float32)
         return sx.astype(jnp.float32), sy.astype(jnp.float32), rho, psd
 
-    return jax.vmap(fields)(sigmas)
+    return jax.vmap(fields, in_axes=(geom_ax, yaw_ax, sig_ax))(
+        geom, ego_yaw, sigmas
+    )
 
 
 def propagate_uncertainty_tpu_batched(
@@ -219,7 +237,7 @@ def propagate_uncertainty_tpu_batched(
 
     ``interpret=None`` auto-selects the Pallas interpreter on CPU.
     """
-    rows = prior.shape[0]
+    rows = prior.shape[-2]
     plan = BandPlan(((0, rows, cp.window_radius),), None)
     return propagate_uncertainty_tpu_banded(
         cp, prior, geom, ego_yaw, sigmas, plan,
@@ -285,27 +303,32 @@ def propagate_uncertainty_tpu_banded(
     as the sampled sigmas stay within the plan's sigma_hi bound."""
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
-    rows, cols = prior.shape
+    rows, cols = prior.shape[-2:]
     bands = band_plan.bands if isinstance(band_plan, BandPlan) else tuple(band_plan)
     covered = 0
     for (r0, br, _) in bands:
         if r0 != covered:
             raise ValueError(f"band plan not contiguous at row {covered}: {bands}")
         covered += br
-    if covered != rows:
+    prior_batched = prior.ndim == 3
+    rows_idx = 1 if prior_batched else 0
+    if covered != prior.shape[rows_idx]:
         raise ValueError(
-            f"band plan covers {covered} rows but the prior has {rows} — "
-            "stale plan for a different map shape"
+            f"band plan covers {covered} rows but the prior has "
+            f"{prior.shape[rows_idx]} — stale plan for a different map shape"
         )
     prior32 = prior.astype(jnp.float32)
     sxb, syb, rhob, psdb = _prep_fields(
         cp, geom, ego_yaw, sigmas, faithful_rho, rows, cols
     )
-    B = sigmas.shape[0]
+    B = sxb.shape[0]
 
     outs = []
     for (r0, br, Rb) in bands:
-        prior_pad = jnp.pad(prior32, Rb)
+        if prior_batched:
+            prior_pad = jnp.pad(prior32, ((0, 0), (Rb, Rb), (Rb, Rb)))
+        else:
+            prior_pad = jnp.pad(prior32, Rb)
         kern = functools.partial(
             _kernel_band, Rb, float(cp.resolution),
             float(cp.chisquare_val**2), br, cols, r0, rows,
@@ -315,12 +338,22 @@ def propagate_uncertainty_tpu_banded(
         shared = lambda arr: pl.BlockSpec(
             arr.shape, lambda b: (0,) * arr.ndim, memory_space=pltpu.VMEM
         )
+        if prior_batched:
+            ppad_spec = pl.BlockSpec(
+                (1,) + prior_pad.shape[1:], lambda b: (b, 0, 0),
+                memory_space=pltpu.VMEM,
+            )
+            pband_spec = per_b
+            pband = prior32[:, r0 : r0 + br]
+        else:
+            ppad_spec = shared(prior_pad)
+            pband_spec = shared(prior32[r0 : r0 + br])
+            pband = prior32[r0 : r0 + br]
         sl = lambda a: a[:, r0 : r0 + br]
         out = pl.pallas_call(
             kern,
             grid=(B,),
-            in_specs=[shared(prior_pad), per_b, per_b, per_b, per_b,
-                      shared(prior32[r0 : r0 + br])],
+            in_specs=[ppad_spec, per_b, per_b, per_b, per_b, pband_spec],
             out_specs=per_b,
             out_shape=jax.ShapeDtypeStruct((B, br, cols), jnp.float32),
             cost_estimate=pl.CostEstimate(
@@ -329,8 +362,7 @@ def propagate_uncertainty_tpu_banded(
                 transcendentals=B * (2 * Rb + 1) ** 2 * br * cols,
             ),
             interpret=interpret,
-        )(prior_pad, sl(sxb), sl(syb), sl(rhob), sl(psdb),
-          prior32[r0 : r0 + br])
+        )(prior_pad, sl(sxb), sl(syb), sl(rhob), sl(psdb), pband)
         outs.append(out)
     if len(outs) == 1:
         return outs[0].astype(prior.dtype)

@@ -278,3 +278,90 @@ def closed_loop_batched(
         "iterations": iters,
         "collided": hit,
     }
+
+
+def closed_loop_full_stack_batched(
+    p: SolverParams,
+    cp,
+    noise: NoiseParams,
+    global_map: jax.Array,
+    global_geom,
+    plan_xy: jax.Array,
+    plan_n: jax.Array,
+    x0s: jax.Array,
+    key: jax.Array,
+    n_cycles: int,
+    obstacles=None,
+    obs_xyyaw: Optional[jax.Array] = None,
+    obs_size: Optional[jax.Array] = None,
+    obs_mask: Optional[jax.Array] = None,
+    band_plan=None,
+):
+    """The COMPLETE reference pipeline, batched: every plan->act cycle,
+    every scenario rebuilds its own vehicle-frame uncertainty costmap from
+    the shared global prior (batched Pallas propagation, per-scenario
+    frames) and replans through the hybrid mega solver (per-scenario maps
+    sampled by XLA each LM iteration).
+
+    Same information flow as ``closed_loop_full_stack`` per scenario
+    (costmap at the true pose, solver at the noisy pose); B must make the
+    batch a multiple of the kernel tile after padding (any B works, padding
+    lanes are solved and discarded).  This is the scaled replacement for N
+    parallel CARLA+ROS stacks: thousands of vehicles, each with its own
+    map engine and planner node, in one jitted scan on one chip.
+    """
+    from cilqr_tpu.models import solver_batched, uncertainty as unc_mod
+    from cilqr_tpu.ops import costmap as costmap_mod
+
+    B = x0s.shape[0]
+    dtype = x0s.dtype
+    U0 = jnp.broadcast_to(
+        solver.initial_controls(p, dtype=dtype), (B, p.horizon, 2)
+    )
+    M = obs_xyyaw.shape[0] if obs_xyyaw is not None else 0
+    if M:
+        sizes = jnp.broadcast_to(obs_size, (M, 2)) if obs_size.ndim == 1 else obs_size
+    else:
+        obs_xyyaw = jnp.full((1, 3), 1e6, dtype)
+        sizes = jnp.ones((1, 2), dtype)
+        obs_mask = jnp.zeros((1,), dtype)
+
+    def cycle(carry, key_t):
+        states, U_warm = carry
+        cms = costmap_mod.build_local_costmap_batched(
+            cp, global_map, global_geom, plan_xy, plan_n, states,
+            obs_xyyaw[:, :2], sizes, obs_xyyaw[:, 2], obs_mask,
+            band_plan=band_plan,
+        )
+        umaps = unc_mod.UncertaintyMap(
+            cms.uncertainty_map, cms.geom, cms.origin_xy, cms.origin_yaw
+        )
+        keys = jax.random.split(key_t, B)
+        noisy = jax.vmap(lambda k, s: inject_noise(noise, k, s))(keys, states)
+        res = solver_batched.run_steps_batched(
+            p, plan_xy, plan_n, noisy, U_warm, obstacles, umaps,
+            impl="mega", world_batched=True,
+        )
+        if M:
+            hits = jax.vmap(
+                lambda s: check_collisions(p, s, obs_xyyaw, obs_size, obs_mask)
+            )(states)
+        else:
+            hits = jnp.zeros((B,), bool)
+        nxt = dynamics.step(p, states, res.U[:, 0].astype(dtype))
+        rec = (states, noisy, res.J, res.iterations, hits,
+               jnp.max(cms.uncertainty_map, axis=(1, 2)))
+        # the mega path solves in f32; keep the warm-start carry in the
+        # caller's dtype so the scan carry is type-stable
+        return (nxt.astype(dtype), res.U.astype(dtype)), rec
+
+    keys = jax.random.split(key, n_cycles)
+    (xf, _), (sp, npos, J, iters, hit, umax) = jax.lax.scan(cycle, (x0s, U0), keys)
+    return xf, {
+        "start_pos": sp,
+        "noisy_pos": npos,
+        "J": J,
+        "iterations": iters,
+        "collided": hit,
+        "uncertainty_max": umax,
+    }

@@ -55,3 +55,60 @@ def test_full_stack_closed_loop(global_plan):
     assert float(xf[0]) > float(x0[0])          # progress
     assert not bool(np.asarray(rec["collided"]).any())
     assert np.isfinite(np.asarray(rec["uncertainty_max"])).all()
+
+
+def test_full_stack_batched_matches_vmapped_single(global_plan):
+    """closed_loop_full_stack_batched (batched Pallas propagation +
+    hybrid mega solve) vs vmap of the per-scenario pipeline (f64 reference
+    propagation + vmap solver).  Zero noise => deterministic comparison;
+    the f32 kernel path tracks the f64 reference at the usual 1e-3-level
+    bar per cycle."""
+    p = dataclasses.replace(SolverParams(), horizon=8, max_iterations=3)
+    cp = dataclasses.replace(CostmapParams(), rows=32, cols=24, window_radius=5)
+    noise = NoiseParams(0.0, 0.0, 0.0)
+
+    gm = np.zeros((128, 128), np.float32)
+    gm[20:40, 20:40] = 100.0
+    ggeom = gridmap.make_geom([130.0, -280.0], 1.0, 128, 128, dtype=jnp.float64)
+
+    from cilqr_tpu.models import reference_path as rp
+    plan, n = rp.pad_global_plan(p, global_plan, dtype=jnp.float64)
+    sc = scenarios.Scenario("t", np.array([[120.0, -305.0, 0.0]]))
+    ob, obs_xyyaw, obs_size, obs_mask = runner.build_scenario_inputs(p, sc, jnp.float64)
+
+    B = 3
+    rng = np.random.default_rng(13)
+    x0s = jnp.asarray(
+        np.array([100.0, -305.6, 4.0, 0.05])[None, :] + rng.normal(0, 0.3, (B, 4))
+    )
+    n_cycles = 4
+    gm64 = jnp.asarray(gm, jnp.float64)
+
+    xf_b, rec_b = plant.closed_loop_full_stack_batched(
+        p, cp, noise, gm64, ggeom, plan, n, x0s, jax.random.key(3), n_cycles,
+        obstacles=ob, obs_xyyaw=obs_xyyaw, obs_size=obs_size, obs_mask=obs_mask,
+    )
+    xf_s, rec_s = jax.vmap(
+        lambda x0, k: plant.closed_loop_full_stack(
+            p, cp, noise, gm64, ggeom, plan, n, x0, k, n_cycles,
+            obstacles=ob, obs_xyyaw=obs_xyyaw, obs_size=obs_size,
+            obs_mask=obs_mask,
+        )
+    )(x0s, jax.random.split(jax.random.key(3), B))
+
+    assert rec_b["start_pos"].shape == (n_cycles, B, 4)
+    # single path records are (B, n_cycles, ...)
+    np.testing.assert_allclose(
+        np.asarray(xf_b), np.asarray(xf_s), rtol=1e-3, atol=5e-3
+    )
+    np.testing.assert_allclose(
+        np.asarray(rec_b["J"]), np.asarray(rec_s["J"]).T, rtol=2e-3, atol=1e-2
+    )
+    np.testing.assert_array_equal(
+        np.asarray(rec_b["collided"]), np.asarray(rec_s["collided"]).T
+    )
+    np.testing.assert_allclose(
+        np.asarray(rec_b["uncertainty_max"]),
+        np.asarray(rec_s["uncertainty_max"]).T,
+        rtol=1e-4, atol=1e-2,
+    )

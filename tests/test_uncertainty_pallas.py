@@ -76,3 +76,32 @@ def test_banded_kernel_bit_identical_to_full_window():
         cp, prior, geom, yaw, sigmas, interpret=True
     )
     np.testing.assert_array_equal(np.asarray(banded), np.asarray(full))
+
+
+def test_per_scenario_prior_and_frame_matches_reference():
+    """Full-stack layout: every scenario has its own prior, geometry center,
+    and yaw (sigmas from cp defaults)."""
+    import jax
+
+    cp = dataclasses.replace(CostmapParams(), rows=20, cols=16, window_radius=5)
+    rng = np.random.default_rng(3)
+    B = 3
+    priors = jnp.asarray(rng.uniform(0, 100, (B, 20, 16)), jnp.float32)
+    centers = jnp.asarray([[3.0, 0.0], [4.0, 0.5], [2.5, -0.5]], jnp.float32)
+    geoms = jax.vmap(
+        lambda c: gridmap.make_geom(c, cp.resolution, 20, 16, dtype=jnp.float32)
+    )(centers)
+    yaws = jnp.asarray([0.1, 0.5, -0.3], jnp.float32)
+
+    plan = uncertainty_pallas.BandPlan(((0, 20, cp.window_radius),), None)
+    got = uncertainty_pallas.propagate_uncertainty_tpu_banded(
+        cp, priors, geoms, yaws, None, plan, interpret=True
+    )
+    want = jax.vmap(
+        lambda pr, c, y: costmap.propagate_uncertainty_reference(
+            cp, pr,
+            gridmap.make_geom(c, cp.resolution, 20, 16, dtype=jnp.float32), y,
+        )
+    )(priors, centers, yaws)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-4)
