@@ -174,7 +174,8 @@ def main():
         # rebuilds its own vehicle-frame uncertainty costmap (batched Pallas
         # propagation, per-scenario frames) and replans via the hybrid mega
         # solver.  The scaled replacement for N parallel CARLA+ROS stacks.
-        from cilqr_tpu.ops import gridmap
+        from cilqr_tpu.ops import costmap as costmap_mod
+        from cilqr_tpu.ops import gridmap, uncertainty_pallas
         from cilqr_tpu.sim import plant
         from cilqr_tpu.utils.params import CostmapParams, NoiseParams
 
@@ -189,10 +190,17 @@ def main():
             np.asarray(ego)[None, :] + rng.normal(0, 0.3, (Bfs, 4)),
             jnp.float32,
         )
+        # banded propagation sized for every corridor geometry this route
+        # can produce (x/y margins cover the x0 scatter + tracking error)
+        xr, yr = costmap_mod.corridor_center_bounds(cpf, plan, n)
+        fs_band = uncertainty_pallas.make_band_plan_bounds(
+            cpf, cpf.rows, cpf.cols, xr, yr,
+            (cpf.sigma_x, cpf.sigma_y, cpf.sigma_theta),
+        )
         fs = jax.jit(
             lambda x, k: plant.closed_loop_full_stack_batched(
                 p, cpf, NoiseParams(), gmap, ggeom, plan, n, x, k, n_cyc,
-                obstacles=obstacles,
+                obstacles=obstacles, band_plan=fs_band,
             )
         )
         o = fs(x0s, jax.random.key(0))

@@ -113,6 +113,67 @@ def corridor_geometry(
     return center, (x_len, y_len), (x_min, x_max, y_min, y_max)
 
 
+def corridor_center_bounds(
+    cp: CostmapParams,
+    waypoints,
+    n_valid: int,
+    lateral_offsets=(-1.5, 0.0, 1.5),
+    yaw_offsets=(-0.3, 0.0, 0.3),
+    x_margin: float = 3.0,
+    y_margin: float = 3.0,
+):
+    """Concrete bounds on the corridor-derived map center over a route.
+
+    Evaluates ``corridor_geometry`` for ego poses swept along the global
+    plan (each valid waypoint, at the path-tangent yaw) x a grid of lateral
+    and yaw perturbations (closed-loop tracking error), then pads with
+    margins.  Feed the result to
+    ``uncertainty_pallas.make_band_plan_bounds`` so the full-stack batched
+    propagation's band radii cover every per-scenario vehicle-frame
+    geometry the run can produce.  Must run OUTSIDE jit (concrete plan).
+
+    Returns ((x_lo, x_hi), (y_lo, y_hi)) Python floats.
+    """
+    import numpy as _np
+
+    wp = _np.asarray(waypoints, _np.float64)
+    nv = int(n_valid)
+    wp = wp[:nv]
+    if nv < 1:
+        raise ValueError("corridor_center_bounds needs at least one waypoint")
+    nxt = wp[_np.minimum(_np.arange(nv) + 1, nv - 1)]
+    tang = nxt - wp
+    # forward-fill degenerate tail tangents with the last valid heading
+    ok = _np.einsum("ij,ij->i", tang, tang) > 1e-12
+    yaw = _np.arctan2(tang[:, 1], tang[:, 0])
+    last = _np.maximum.accumulate(_np.where(ok, _np.arange(nv), -1))
+    yaw = _np.where(last >= 0, yaw[_np.maximum(last, 0)], 0.0)
+
+    wpj = jnp.asarray(waypoints)
+    nj = jnp.asarray(n_valid)
+
+    def center_of(ego_xy, ego_yaw):
+        c, _, _ = corridor_geometry(cp, wpj, nj, ego_xy, ego_yaw)
+        return c
+
+    centers = []
+    for lat in lateral_offsets:
+        # lateral = along heading - pi/2 (the corridor's own convention)
+        exs = wp[:, 0] + lat * _np.cos(yaw - _np.pi / 2.0)
+        eys = wp[:, 1] + lat * _np.sin(yaw - _np.pi / 2.0)
+        for dy in yaw_offsets:
+            cs = jax.vmap(center_of)(
+                jnp.asarray(_np.stack([exs, eys], -1), wpj.dtype),
+                jnp.asarray(yaw + dy, wpj.dtype),
+            )
+            centers.append(_np.asarray(cs))
+    cat = _np.concatenate(centers, axis=0)
+    return (
+        (float(cat[:, 0].min() - x_margin), float(cat[:, 0].max() + x_margin)),
+        (float(cat[:, 1].min() - y_margin), float(cat[:, 1].max() + y_margin)),
+    )
+
+
 def rasterize_obstacles(
     cp: CostmapParams,
     geom: gridmap.GridGeom,

@@ -173,11 +173,16 @@ class BandPlan(NamedTuple):
     bands: ((row0, band_rows, radius), ...) contiguous from row 0;
     sigma_hi: the (sigma_x, sigma_y, sigma_theta) upper bound the radii
     cover — consumers cross-check their own sampling bound against it
-    (None when the plan is a plain full-map window).
+    (None when the plan is a plain full-map window);
+    x_range / y_range: the map-frame center interval the radii cover when
+    the plan was built for per-scenario frames (``make_band_plan_bounds``)
+    — None for a fixed shared center.
     """
 
     bands: tuple
     sigma_hi: tuple | None
+    x_range: tuple | None = None
+    y_range: tuple | None = None
 
 
 def _prep_fields(cp: CostmapParams, geom, ego_yaw, sigmas, faithful_rho,
@@ -261,15 +266,38 @@ def make_band_plan(cp: CostmapParams, rows: int, cols: int, center,
     Returns a hashable ``BandPlan`` carrying the sigma_hi bound it covers.
     Must be built OUTSIDE jit (concrete center).
     """
+    cx, cy = float(center[0]), float(center[1])
+    return make_band_plan_bounds(
+        cp, rows, cols, (cx, cx), (cy, cy), sigma_hi, max_bands=max_bands
+    )
+
+
+def make_band_plan_bounds(cp: CostmapParams, rows: int, cols: int,
+                          x_range, y_range, sigma_hi,
+                          max_bands: int = 4) -> BandPlan:
+    """``make_band_plan`` for an INTERVAL of map-frame centers.
+
+    The full-stack batched path gives every scenario its own vehicle-frame
+    geometry (the corridor-derived center moves with the route,
+    ``costmap.corridor_center_bounds``); band radii must cover the worst
+    center the batch can produce.  Per row band the lever arm is maximized
+    over center_x in ``x_range`` and center_y in ``y_range`` — still EXACT
+    for every scenario whose center stays inside the intervals (a window
+    covering the 95% ellipse is exact regardless of slack).
+    """
     import numpy as _np
 
     res = cp.resolution
-    first_x = center[0] + 0.5 * rows * res - 0.5 * res
-    xs = first_x - res * _np.arange(rows)
-    y_lo = center[1] - 0.5 * cols * res + 0.5 * res
-    y_hi = center[1] + 0.5 * cols * res - 0.5 * res
-    max_y = max(abs(y_lo), abs(y_hi))
-    lever = _np.hypot(_np.abs(xs), max_y)
+    x_lo, x_hi = float(x_range[0]), float(x_range[1])
+    y_lo, y_hi = float(y_range[0]), float(y_range[1])
+    if x_lo > x_hi or y_lo > y_hi:
+        raise ValueError(f"empty center range {x_range} x {y_range}")
+    # row i cell x = center_x + off_i; worst |x| is at an interval endpoint
+    off = 0.5 * rows * res - 0.5 * res - res * _np.arange(rows)
+    max_x = _np.maximum(_np.abs(x_lo + off), _np.abs(x_hi + off))
+    # |y| is linear in center_y too: worst at an endpoint, + half extent
+    max_y = max(abs(y_lo), abs(y_hi)) + 0.5 * cols * res - 0.5 * res
+    lever = _np.hypot(max_x, max_y)
     s_x, s_y, s_t = sigma_hi
     need = _np.ceil(
         cp.chisquare_val
@@ -284,7 +312,10 @@ def make_band_plan(cp: CostmapParams, rows: int, cols: int, center,
         r0, r1 = int(bounds[i]), int(bounds[i + 1])
         if r1 > r0:
             bands.append((r0, r1 - r0, int(need[r0:r1].max())))
-    return BandPlan(tuple(bands), (float(s_x), float(s_y), float(s_t)))
+    return BandPlan(
+        tuple(bands), (float(s_x), float(s_y), float(s_t)),
+        (x_lo, x_hi), (y_lo, y_hi),
+    )
 
 
 def propagate_uncertainty_tpu_banded(

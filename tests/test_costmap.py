@@ -165,3 +165,31 @@ def test_corridor_geometry_moves_with_ego(global_plan):
     assert np.isfinite(np.asarray(c1)).all() and np.isfinite(np.asarray(c2)).all()
     # corridor spans ~40 waypoints ahead plus 12 m laterally
     assert float(xl1) > 10.0 and float(yl1) >= 12.0
+
+
+def test_corridor_center_bounds_cover_route(global_plan):
+    """The concrete center intervals cover every corridor geometry produced
+    by egos scattered around the route (the full-stack batched scatter)."""
+    import jax
+
+    cp = small_costmap_params()
+    wpts = jnp.asarray(global_plan)
+    n = jnp.asarray(wpts.shape[0])
+    (x_lo, x_hi), (y_lo, y_hi) = costmap.corridor_center_bounds(
+        cp, wpts, wpts.shape[0]
+    )
+    assert x_lo < x_hi and y_lo < y_hi
+
+    rng = np.random.default_rng(7)
+    idx = rng.integers(0, wpts.shape[0] - 1, 32)
+    base = np.asarray(global_plan)[idx]
+    tang = np.asarray(global_plan)[np.minimum(idx + 1, wpts.shape[0] - 1)] - base
+    yaw = np.arctan2(tang[:, 1], tang[:, 0])
+    egos_xy = base + rng.normal(0, 0.5, (32, 2))
+    yaws = yaw + rng.normal(0, 0.05, 32)
+    centers = jax.vmap(
+        lambda e, y: costmap.corridor_geometry(cp, wpts, n, e, y)[0]
+    )(jnp.asarray(egos_xy), jnp.asarray(yaws))
+    c = np.asarray(centers)
+    assert (c[:, 0] >= x_lo).all() and (c[:, 0] <= x_hi).all()
+    assert (c[:, 1] >= y_lo).all() and (c[:, 1] <= y_hi).all()

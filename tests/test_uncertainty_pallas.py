@@ -105,3 +105,70 @@ def test_per_scenario_prior_and_frame_matches_reference():
     )(priors, centers, yaws)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=2e-5, atol=2e-4)
+
+
+def test_band_plan_bounds_bit_identical_over_center_interval():
+    """Bounded band plan (per-scenario frames, the full-stack layout):
+    bit-identical to the full-window kernel for every center inside the
+    interval the plan was built for."""
+    import jax
+
+    cp = dataclasses.replace(CostmapParams(), rows=40, cols=20, window_radius=12,
+                             sigma_x=0.05, sigma_y=0.05, sigma_theta=0.03)
+    rng = np.random.default_rng(11)
+    B = 4
+    priors = jnp.asarray(rng.uniform(0, 100, (B, 40, 20)), jnp.float32)
+    x_range, y_range = (1.0, 5.0), (-1.0, 1.0)
+    centers = jnp.asarray(
+        np.stack([rng.uniform(*x_range, B), rng.uniform(*y_range, B)], -1),
+        jnp.float32,
+    )
+    geoms = jax.vmap(
+        lambda c: gridmap.make_geom(c, cp.resolution, 40, 20, dtype=jnp.float32)
+    )(centers)
+    yaws = jnp.asarray(rng.uniform(-3.0, 3.0, B), jnp.float32)
+
+    plan = uncertainty_pallas.make_band_plan_bounds(
+        cp, 40, 20, x_range, y_range,
+        (cp.sigma_x, cp.sigma_y, cp.sigma_theta),
+    )
+    assert plan.x_range == x_range and plan.y_range == y_range
+    assert len(plan.bands) >= 2
+    assert all(r <= cp.window_radius for _, _, r in plan.bands)
+    assert min(r for _, _, r in plan.bands) < max(r for _, _, r in plan.bands)
+
+    banded = uncertainty_pallas.propagate_uncertainty_tpu_banded(
+        cp, priors, geoms, yaws, None, plan, interpret=True
+    )
+    full = uncertainty_pallas.propagate_uncertainty_tpu_banded(
+        cp, priors, geoms, yaws, None,
+        uncertainty_pallas.BandPlan(((0, 40, cp.window_radius),), None),
+        interpret=True,
+    )
+    np.testing.assert_array_equal(np.asarray(banded), np.asarray(full))
+
+
+def test_band_plan_bounds_radii_cover_required():
+    """Per-band radii dominate required_window_radius at the worst center
+    of the interval (sampled check)."""
+    cp = dataclasses.replace(CostmapParams(), rows=64, cols=32)
+    sigma_hi = (0.16, 0.16, 0.017)
+    x_range, y_range = (-2.0, 18.0), (-4.0, 4.0)
+    plan = uncertainty_pallas.make_band_plan_bounds(
+        cp, 64, 32, x_range, y_range, sigma_hi, max_bands=4
+    )
+    res = cp.resolution
+    rng = np.random.default_rng(0)
+    for cx in np.linspace(*x_range, 7):
+        for cy in np.linspace(*y_range, 5):
+            first_x = cx + 0.5 * 64 * res - 0.5 * res
+            y_edge = abs(cy) + 0.5 * 32 * res - 0.5 * res
+            for (r0, br, R) in plan.bands:
+                xs = first_x - res * np.arange(r0, r0 + br)
+                lever = np.hypot(np.abs(xs), y_edge).max()
+                need = np.ceil(
+                    cp.chisquare_val
+                    * np.sqrt(sigma_hi[0] ** 2 + sigma_hi[1] ** 2
+                              + sigma_hi[2] ** 2 * lever ** 2) / res
+                )
+                assert R >= need, (cx, cy, r0, R, need)
