@@ -200,16 +200,20 @@ def main():
         fs = jax.jit(
             lambda x, k: plant.closed_loop_full_stack_batched(
                 p, cpf, NoiseParams(), gmap, ggeom, plan, n, x, k, n_cyc,
-                obstacles=obstacles, band_plan=fs_band,
+                obstacles=obstacles, band_plan=fs_band, global_res=0.5,
             )
         )
         o = fs(x0s, jax.random.key(0))
         jax.block_until_ready(o)
-        t0 = time.perf_counter()
-        o = fs(x0s + 1e-4, jax.random.key(1))
-        jax.block_until_ready(o)
+        reps = 3  # median-of-reps: a single tunnel dispatch is too noisy
+        times = []
+        for r in range(1, reps + 1):
+            t0 = time.perf_counter()
+            o = fs(x0s + 1e-4 * r, jax.random.key(r))
+            jax.block_until_ready(o)
+            times.append(time.perf_counter() - t0)
         extras["full_stack_cycles_per_sec"] = round(
-            n_cyc * Bfs / (time.perf_counter() - t0), 1
+            n_cyc * Bfs / float(np.median(times)), 1
         )
 
     if os.environ.get("BENCH_CLOSED_LOOP", "0") == "1":

@@ -383,6 +383,8 @@ def propagate_uncertainty_reference(
 
     W = 2 * R + 1
 
+    two_rho = rho + rho
+
     def body(k, acc):
         num, den = acc
         di = k // W - R
@@ -394,7 +396,10 @@ def propagate_uncertainty_reference(
 
         zx = dx / sx
         zy = dy / sy
-        q = zx * zx - 2.0 * rho * zx * zy + zy * zy
+        # q = zx^2 - 2 rho zx zy + zy^2, factored exactly as the Pallas
+        # kernel's hoisted form (uncertainty_pallas._accumulate) so the two
+        # paths stay numerically locked
+        q = (zx - two_rho * zy) * zx + zy * zy
         # inside-ellipse test: d^T cov^-1 d = q / (1 - rho^2) <= chi^2
         inside = q <= chi2 * one_m_rho2
         f = jnp.exp(-q * inv_det2)
@@ -420,9 +425,14 @@ def _costmap_pre(
     obs_size: jax.Array,
     obs_yaw: jax.Array,
     obs_mask: jax.Array,
+    skip_prior: bool = False,
 ):
     """Everything before the uncertainty propagation: corridor geometry,
-    corridor mask, obstacle rasterization, prior sampling + bbox override."""
+    corridor mask, obstacle rasterization, prior sampling + bbox override.
+
+    ``skip_prior=True`` leaves the prior layer out (vehicle_map = bbox
+    only) — the batched path then fills it with the Pallas window-gather
+    sampler (sample_pallas) outside the vmap."""
     rows, cols = cp.rows, cp.cols
     ego_xy = ego_state[:2]
     ego_yaw = ego_state[3]
@@ -445,6 +455,8 @@ def _costmap_pre(
     bbox = rasterize_obstacles(
         cp, geom, rows, cols, obs_xy, obs_size, obs_yaw, obs_mask, ego_xy, ego_yaw
     )
+    if skip_prior:
+        return bbox, bbox, corridor, geom
     prior = sample_prior(geom, rows, cols, global_map, global_geom, ego_xy, ego_yaw)
     # bbox overrides prior where > 90 (local_costmap.cpp:260-263)
     vehicle_map = jnp.where(bbox > 90.0, bbox, prior)
@@ -495,6 +507,7 @@ def build_local_costmap_batched(
     obs_mask: jax.Array,
     use_pallas: bool = True,
     band_plan=None,
+    global_res: Optional[float] = None,
 ) -> LocalCostmap:
     """Per-scenario costmap ticks for a (B, 4) ego batch, one shared world.
 
@@ -505,15 +518,38 @@ def build_local_costmap_batched(
     built for the configured cp sigmas and a conservative vehicle-frame
     center) cuts the propagation FLOPs 2-4x exactly.  Returns a
     LocalCostmap whose leaves carry a leading B axis.
+
+    ``global_res``: the global map's resolution as a STATIC Python float.
+    When given (and the f32 map/ratio is eligible, sample_pallas.supports)
+    the prior resample runs the Pallas window-gather kernel instead of the
+    vmapped XLA gather — ~20x faster, the dominant cost of the full-stack
+    cycle.  Omit for f64 parity runs.
     """
+    use_sample_kernel = False
+    if use_pallas and global_res is not None and global_map.dtype == jnp.float32:
+        from cilqr_tpu.ops import sample_pallas
+
+        use_sample_kernel = sample_pallas.supports(
+            cp.rows, cp.cols, cp.resolution, float(global_res),
+            global_map.shape[0], global_map.shape[1],
+        )
+
     pre = jax.vmap(
         lambda e: _costmap_pre(
             cp, global_map, global_geom, waypoints, n_wpts, e,
             obs_xy, obs_size, obs_yaw, obs_mask,
+            skip_prior=use_sample_kernel,
         )
     )
     vehicle_map, bbox, corridor, geom = pre(ego_states)
     yaws = ego_states[:, 3]
+
+    if use_sample_kernel:
+        prior = sample_pallas.sample_prior_batched_tpu(
+            geom, cp.rows, cp.cols, cp.resolution, float(global_res),
+            global_map, global_geom, ego_states[:, :2], yaws,
+        )
+        vehicle_map = jnp.where(bbox > 90.0, bbox, prior.astype(bbox.dtype))
 
     if use_pallas:
         from cilqr_tpu.ops import uncertainty_pallas

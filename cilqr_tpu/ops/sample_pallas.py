@@ -1,0 +1,213 @@
+"""Pallas TPU kernel for the batched prior-map resample (nearest gather).
+
+The full-stack batched costmap rebuilds every scenario's vehicle-frame
+prior by sampling the shared global map at each cell rotated into the
+global frame (``costmap.sample_prior``, mirroring
+``local_costmap.cpp:242-253``).  XLA lowers the resulting (B, rows, cols)
+gather at ~12 ns/element (~760 ms for 4096 scenarios at the default
+152x104 grid on v5e) — 72% of the whole full-stack plan-act cycle.
+
+TPU-native re-expression: the query grid is a ROTATED REGULAR GRID, so the
+global cell index is AFFINE in the (row, col) of the vehicle map —
+fi = a + p*i + q*j with |p|, |q| <= res_vehicle/res_global.  For one
+8-row output tile the needed source cells therefore live in a small
+axis-aligned window whose extent is bounded STATICALLY by the resolution
+ratio.  Per (scenario, tile) grid step the kernel:
+
+  1. computes the tile's global (row, col) index planes (op-for-op the
+     math of ``sample_prior`` + ``index_from_position``, f32, clamped);
+  2. takes their scalar minima -> window origin (row0 aligned down to the
+     sublane multiple, col0 free — the column window is aligned by a
+     dynamic LANE ROLL, which Mosaic lowers natively);
+  3. dynamic-slices a static (WR, Wpad) row window of the VMEM-resident
+     global map, rolls it left by col0, keeps the first 128 lanes;
+  4. gathers: for each window row r, one lane-granularity
+     ``take_along_axis`` + select where the local row index == r.
+
+Cost per 1024 outputs is ~3*WR vector ops (WR = 56 at the reference's
+0.2 m vehicle / 0.5 m global resolutions) vs ~12 us for the XLA gather:
+~20x.  Falls back to the XLA path for maps that don't fit VMEM or
+resolution ratios whose window can't cover a 128-lane tile (see
+``supports``).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from cilqr_tpu.ops import gridmap
+
+_TS = 8    # output tile rows (sublane)
+_TL = 128  # output tile cols (lane)
+
+# VMEM budget for the shared global map (v5e has ~16 MB; leave room for the
+# row window, index planes, and the output tile)
+_VMEM_MAP_BYTES = 12 * 1024 * 1024
+
+
+def _window_rows(res_v: float, res_g: float, cols: int) -> int:
+    """Static row-window size WR: the affine index extent over an 8 x cols
+    tile (worst rotation), +1 for the floor, +8 for sublane alignment of
+    the dynamic slice start, rounded up to a sublane multiple."""
+    extent = math.ceil((res_v / res_g) * math.hypot(_TS - 1, cols - 1)) + 1
+    return ((extent + 8) + 7) // 8 * 8
+
+
+def _col_extent(res_v: float, res_g: float, cols: int) -> int:
+    return math.ceil((res_v / res_g) * math.hypot(_TS - 1, cols - 1)) + 1
+
+
+def supports(rows: int, cols: int, res_v: float, res_g: float,
+             H: int, W: int) -> bool:
+    """Static eligibility: map fits VMEM, the column window fits one
+    128-lane roll, and the row window fits the (padded) map height."""
+    Hp = -(-H // _TS) * _TS
+    Wp = -(-W // _TL) * _TL
+    if Hp * Wp * 4 > _VMEM_MAP_BYTES:
+        return False
+    if cols > _TL:  # one lane tile per row band (the reference grids fit)
+        return False
+    if _col_extent(res_v, res_g, cols) > _TL - 1:
+        return False
+    if _window_rows(res_v, res_g, cols) > Hp:
+        return False
+    return True
+
+
+def _kernel(rows: int, cols: int, res_v: float, H: int, W: int, Wpad: int,
+            WR: int, map_ref, scl_ref, gscl_ref, out_ref):
+    f32 = jnp.float32
+    t = pl.program_id(1)
+
+    first_x = scl_ref[0, 0, 0]
+    first_y = scl_ref[0, 0, 1]
+    ego_x = scl_ref[0, 0, 2]
+    ego_y = scl_ref[0, 0, 3]
+    cyaw = scl_ref[0, 0, 4]
+    syaw = scl_ref[0, 0, 5]
+    top_x = gscl_ref[0, 0]
+    top_y = gscl_ref[0, 1]
+    res_g = gscl_ref[0, 2]
+
+    # vehicle-frame cell centers (cell_positions semantics); padding lanes
+    # replicate the last column so they never widen the source window
+    ri = jax.lax.broadcasted_iota(jnp.int32, (_TS, _TL), 0) + t * _TS
+    ci = jnp.minimum(jax.lax.broadcasted_iota(jnp.int32, (_TS, _TL), 1),
+                     cols - 1)
+    x_v = first_x - res_v * ri.astype(f32)
+    y_v = first_y - res_v * ci.astype(f32)
+
+    # rotate to global + nearest index (sample_prior + index_from_position,
+    # mirrored op-for-op), clamped at the borders (sample_nearest)
+    gx = x_v * cyaw - y_v * syaw + ego_x
+    gy = x_v * syaw + y_v * cyaw + ego_y
+    ii = jnp.clip(jnp.floor((top_x - gx) / res_g), 0.0, H - 1.0).astype(jnp.int32)
+    jj = jnp.clip(jnp.floor((top_y - gy) / res_g), 0.0, W - 1.0).astype(jnp.int32)
+
+    # static-size source window at a dynamic (aligned) origin
+    row0 = pl.multiple_of(
+        jnp.clip((jnp.min(ii) // _TS) * _TS, 0, -(-H // _TS) * _TS - WR), _TS
+    )
+    col0 = jnp.min(jj)
+    win = map_ref[pl.ds(row0, WR), :]
+    rolled = pltpu.roll(win, Wpad - col0, axis=1)
+    wslice = rolled[:, :_TL]
+
+    lr = ii - row0
+    lc = jj - col0
+    v = jnp.zeros((_TS, _TL), f32)
+    for r in range(WR):
+        rowv = jnp.broadcast_to(wslice[r : r + 1, :], (_TS, _TL))
+        g = jnp.take_along_axis(rowv, lc, axis=1)
+        v = jnp.where(lr == r, g, v)
+    out_ref[0] = v
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1, 2, 3, 8))
+def _sample(rows: int, cols: int, res_v: float, WR: int, global_map, gscl,
+            firsts, egos_cs, interpret: bool):
+    H, W = global_map.shape
+    Hp = -(-H // _TS) * _TS
+    Wp = -(-W // _TL) * _TL
+    # edge-pad: padded cells are never addressed (indices clamp to the real
+    # extent and the roll is modulo Wp with offsets < the real window)
+    mpad = jnp.pad(global_map.astype(jnp.float32),
+                   ((0, Hp - H), (0, Wp - W)), mode="edge")
+    B = firsts.shape[0]
+    T = -(-rows // _TS)
+    scl = jnp.concatenate([firsts, egos_cs], axis=1).astype(jnp.float32)
+    scl = jnp.pad(scl, ((0, 0), (0, 8 - scl.shape[1])))[:, None, :]  # (B,1,8)
+
+    kern = functools.partial(_kernel, rows, cols, float(res_v), H, W, Wp, WR)
+    out = pl.pallas_call(
+        kern,
+        grid=(B, T),
+        in_specs=[
+            pl.BlockSpec(mpad.shape, lambda b, t: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 8), lambda b, t: (b, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 8), lambda b, t: (0, 0),
+                         memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec((1, _TS, _TL), lambda b, t: (b, t, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, T * _TS, _TL), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=B * T * WR * 3 * _TS * _TL,
+            bytes_accessed=4 * (Hp * Wp + B * T * _TS * _TL),
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(mpad, scl, jnp.asarray(gscl, jnp.float32))
+    return out[:, :rows, :cols]
+
+
+def sample_prior_batched_tpu(
+    geoms: gridmap.GridGeom,
+    rows: int,
+    cols: int,
+    res_v: float,
+    res_g: float,
+    global_map: jax.Array,
+    global_geom: gridmap.GridGeom,
+    ego_xys: jax.Array,
+    ego_yaws: jax.Array,
+    interpret=None,
+) -> jax.Array:
+    """Batched drop-in for ``vmap(costmap.sample_prior)``: (B, rows, cols)
+    nearest-cell resample of one shared global map at B vehicle frames.
+
+    ``geoms`` carries batched leaves (B, ...); ``res_v``/``res_g`` are the
+    STATIC vehicle/global resolutions (the traced geometry leaves stay
+    dynamic — only the window sizing needs Python floats).  Eligibility
+    must be checked by the caller via ``supports``.  ``interpret=None``
+    auto-selects the Pallas interpreter on CPU.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    firsts = (
+        geoms.center + 0.5 * geoms.length
+        - 0.5 * geoms.resolution[..., None]
+    )
+    top = global_geom.center + 0.5 * global_geom.length
+    z = jnp.zeros_like(top[0])
+    gscl = jnp.stack(
+        [top[0], top[1], jnp.asarray(global_geom.resolution, top.dtype),
+         z, z, z, z, z]
+    ).reshape(1, 8)
+    egos_cs = jnp.stack(
+        [ego_xys[:, 0], ego_xys[:, 1], jnp.cos(ego_yaws), jnp.sin(ego_yaws)],
+        axis=1,
+    )
+    WR = _window_rows(float(res_v), float(res_g), cols)
+    return _sample(
+        rows, cols, float(res_v), WR, global_map, gscl, firsts, egos_cs,
+        bool(interpret),
+    )

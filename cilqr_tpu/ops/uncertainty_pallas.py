@@ -54,12 +54,16 @@ def _accumulate(R: int, res: float, chi2: float, rows: int, cols: int,
     # Gaussian normalizer omitted: per-output-cell constant, cancels in num/den
     thresh = chi2 * one_m_rho2
 
-    # neighbor-in-map masks come from global cell ids
+    # neighbor-in-map masks come from global cell ids; hoisted to per-cell
+    # BOUNDS so the inner body compares the scalar row offset directly
     row_id = jax.lax.broadcasted_iota(jnp.int32, (rows, cols), 0) + row0
     col_id = jax.lax.broadcasted_iota(jnp.int32, (rows, cols), 1)
+    row_lo = -row_id                 # di - R >= row_lo
+    row_hi = total_rows - row_id     # di - R <  row_hi
 
     inv_sx = 1.0 / sx
     inv_sy = 1.0 / sy
+    two_rho = rho + rho
 
     # Mosaic cannot prove dynamic lane-dim (dim 1) slice alignment, so the
     # column offset dj is a *static* Python unroll (W slices at compile-time
@@ -70,20 +74,25 @@ def _accumulate(R: int, res: float, chi2: float, rows: int, cols: int,
     for dj in range(W):
         dy = -(dj - R) * res
         zy = dy * inv_sy
+        # q = zx^2 - 2 rho zx zy + zy^2 = (zx - t2) zx + zy2 with the per-dj
+        # planes hoisted out of the di loop (3 ops/offset instead of 5)
+        t2 = two_rho * zy
+        zy2 = zy * zy
         col_ok = (col_id + (dj - R) >= 0) & (col_id + (dj - R) < cols)
 
-        def body(di, acc, dj=dj, zy=zy, col_ok=col_ok):
+        def body(di, acc, t2=t2, zy2=zy2, col_ok=col_ok, dj=dj):
             num, den = acc
             # neighbor j at index offset (di-R, dj-R) -> position offset
             # (-(di-R)*res, -(dj-R)*res)
-            dx = -(di - R).astype(jnp.float32) * res
+            dif = di - R
+            dx = -dif.astype(jnp.float32) * res
             if prior_pad_ref.ndim == 3:  # per-scenario prior block (1, ., .)
                 p_j = prior_pad_ref[0, pl.ds(di + row0, rows), dj : dj + cols]
             else:
                 p_j = prior_pad_ref[pl.ds(di + row0, rows), dj : dj + cols]
-            in_map = col_ok & (row_id + (di - R) >= 0) & (row_id + (di - R) < total_rows)
+            in_map = col_ok & (dif >= row_lo) & (dif < row_hi)
             zx = dx * inv_sx
-            q = zx * zx - 2.0 * rho * zx * zy + zy * zy
+            q = (zx - t2) * zx + zy2
             f = jnp.exp(-q * inv_det2)
             w = jnp.where((q <= thresh) & in_map, f, 0.0)
             return (num + w * p_j, den + w)

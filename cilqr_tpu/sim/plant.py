@@ -296,6 +296,7 @@ def closed_loop_full_stack_batched(
     obs_size: Optional[jax.Array] = None,
     obs_mask: Optional[jax.Array] = None,
     band_plan=None,
+    global_res: Optional[float] = None,
 ):
     """The COMPLETE reference pipeline, batched: every plan->act cycle,
     every scenario rebuilds its own vehicle-frame uncertainty costmap from
@@ -331,7 +332,7 @@ def closed_loop_full_stack_batched(
         cms = costmap_mod.build_local_costmap_batched(
             cp, global_map, global_geom, plan_xy, plan_n, states,
             obs_xyyaw[:, :2], sizes, obs_xyyaw[:, 2], obs_mask,
-            band_plan=band_plan,
+            band_plan=band_plan, global_res=global_res,
         )
         umaps = unc_mod.UncertaintyMap(
             cms.uncertainty_map, cms.geom, cms.origin_xy, cms.origin_yaw

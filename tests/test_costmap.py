@@ -193,3 +193,78 @@ def test_corridor_center_bounds_cover_route(global_plan):
     c = np.asarray(centers)
     assert (c[:, 0] >= x_lo).all() and (c[:, 0] <= x_hi).all()
     assert (c[:, 1] >= y_lo).all() and (c[:, 1] <= y_hi).all()
+
+
+def test_sample_prior_pallas_matches_xla(global_plan):
+    """Window-gather Pallas sampler (sample_pallas) vs vmapped sample_prior:
+    bit-identical f32 nearest resample across frames and yaw quadrants."""
+    import jax
+
+    from cilqr_tpu.ops import sample_pallas
+
+    rows, cols, res_v, res_g = 48, 40, 0.2, 0.5
+    H, W = 96, 88
+    rng = np.random.default_rng(4)
+    gmap = jnp.asarray(rng.uniform(0, 100, (H, W)), jnp.float32)
+    ggeom = gridmap.make_geom([110.0, -300.0], res_g, H, W, dtype=jnp.float32)
+    B = 6
+    egos = jnp.asarray(
+        np.stack([rng.uniform(100, 120, B), rng.uniform(-310, -290, B)], -1),
+        jnp.float32,
+    )
+    yaws = jnp.asarray(rng.uniform(-3.2, 3.2, B), jnp.float32)
+    centers = jnp.asarray(
+        np.stack([rng.uniform(-2, 10, B), rng.uniform(-3, 3, B)], -1),
+        jnp.float32,
+    )
+    geoms = jax.vmap(
+        lambda c: gridmap.make_geom(c, res_v, rows, cols, dtype=jnp.float32)
+    )(centers)
+
+    assert sample_pallas.supports(rows, cols, res_v, res_g, H, W)
+    got = sample_pallas.sample_prior_batched_tpu(
+        geoms, rows, cols, res_v, res_g, gmap, ggeom, egos, yaws
+    )
+    want = jax.vmap(
+        lambda g, e, y: costmap.sample_prior(g, rows, cols, gmap, ggeom, e, y)
+    )(geoms, egos, yaws)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_build_local_costmap_batched_sample_kernel_path(global_plan):
+    """build_local_costmap_batched(global_res=...) (Pallas prior resample)
+    vs the default vmapped-XLA path: identical pipelines."""
+    import dataclasses as _dc
+
+    import jax
+
+    cp = _dc.replace(CostmapParams(), rows=32, cols=24, window_radius=5)
+    rng = np.random.default_rng(9)
+    gm = jnp.asarray(rng.uniform(0, 100, (128, 128)), jnp.float32)
+    ggeom = gridmap.make_geom([130.0, -280.0], 1.0, 128, 128, dtype=jnp.float32)
+    wpts = jnp.asarray(global_plan, jnp.float32)
+    n = jnp.asarray(wpts.shape[0])
+    B = 3
+    egos = jnp.asarray(
+        np.array([100.0, -305.6, 4.0, 0.05])[None, :] + rng.normal(0, 0.3, (B, 4)),
+        jnp.float32,
+    )
+    obs_xy = jnp.asarray([[115.0, -305.0]], jnp.float32)
+    obs_size = jnp.asarray([[3.63, 1.84]], jnp.float32)
+    obs_yaw = jnp.asarray([0.1], jnp.float32)
+    obs_mask = jnp.asarray([1.0], jnp.float32)
+
+    fast = costmap.build_local_costmap_batched(
+        cp, gm, ggeom, wpts, n, egos, obs_xy, obs_size, obs_yaw, obs_mask,
+        global_res=1.0,
+    )
+    ref = costmap.build_local_costmap_batched(
+        cp, gm, ggeom, wpts, n, egos, obs_xy, obs_size, obs_yaw, obs_mask,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(fast.vehicle_map), np.asarray(ref.vehicle_map)
+    )
+    np.testing.assert_allclose(
+        np.asarray(fast.uncertainty_map), np.asarray(ref.uncertainty_map),
+        rtol=1e-6, atol=1e-4,
+    )
