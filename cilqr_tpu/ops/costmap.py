@@ -49,6 +49,28 @@ class LocalCostmap(NamedTuple):
     origin_yaw: jax.Array        # () ego global yaw
 
 
+def _path_headings(waypoints: jax.Array, idx: jax.Array, n_valid,
+                   fallback_yaw) -> jax.Array:
+    """Path-tangent headings at waypoint indices ``idx`` (the reference
+    reads waypoint quaternions; we derive the equivalent from tangents).
+
+    Degenerate tail (repeated last waypoint): forward-fill the last valid
+    heading (the reference stops its loop before the final waypoint and
+    never evaluates a zero tangent); ``fallback_yaw`` only as a last
+    resort when no index has a valid tangent at all.  Shared by
+    ``corridor_geometry`` and ``corridor_center_bounds`` so the sweep poses
+    can never desynchronize from the geometry being bounded."""
+    wp = waypoints[idx]
+    nxt = waypoints[jnp.minimum(idx + 1, n_valid - 1)]
+    tangent = nxt - wp
+    yaw_w = jnp.arctan2(tangent[:, 1], tangent[:, 0])
+    ok = jnp.sum(tangent * tangent, axis=-1) > 1e-12
+    L = yaw_w.shape[0]
+    last_valid = jax.lax.cummax(jnp.where(ok, jnp.arange(L), -1))
+    yaw_filled = yaw_w[jnp.maximum(last_valid, 0)]
+    return jnp.where(last_valid >= 0, yaw_filled, fallback_yaw)
+
+
 def corridor_geometry(
     cp: CostmapParams,
     waypoints: jax.Array,
@@ -75,21 +97,7 @@ def corridor_geometry(
 
     idx = jnp.minimum(start + jnp.arange(cp.look_ahead_waypoints), n_valid - 1)
     wp = waypoints[idx]  # (L, 2)
-    # heading from path tangent (the reference reads waypoint quaternions)
-    nxt = waypoints[jnp.minimum(idx + 1, n_valid - 1)]
-    tangent = nxt - wp
-    yaw_w = jnp.arctan2(tangent[:, 1], tangent[:, 0])
-    # degenerate tail (repeated last waypoint): forward-fill the last valid
-    # path heading (the reference stops its loop before the final waypoint
-    # and never evaluates a zero tangent); ego_yaw only as a last resort
-    # when no waypoint has a valid tangent at all
-    ok = jnp.sum(tangent * tangent, axis=-1) > 1e-12
-    L = yaw_w.shape[0]
-    last_valid = jax.lax.cummax(
-        jnp.where(ok, jnp.arange(L), -1)
-    )
-    yaw_filled = yaw_w[jnp.maximum(last_valid, 0)]
-    yaw_w = jnp.where(last_valid >= 0, yaw_filled, ego_yaw)
+    yaw_w = _path_headings(waypoints, idx, n_valid, ego_yaw)
 
     heading = yaw_w - jnp.pi / 2.0
     heading = jnp.where(heading < 0, heading + 2 * jnp.pi, heading)
@@ -117,40 +125,42 @@ def corridor_center_bounds(
     cp: CostmapParams,
     waypoints,
     n_valid: int,
-    lateral_offsets=(-1.5, 0.0, 1.5),
-    yaw_offsets=(-0.3, 0.0, 0.3),
-    x_margin: float = 3.0,
-    y_margin: float = 3.0,
+    lateral_offsets=(-3.0, 0.0, 3.0),
+    max_yaw_dev: float = 1.2,
+    n_yaw: int = 9,
+    x_margin: float = 5.0,
+    y_margin: float = 5.0,
 ):
     """Concrete bounds on the corridor-derived map center over a route.
 
     Evaluates ``corridor_geometry`` for ego poses swept along the global
     plan (each valid waypoint, at the path-tangent yaw) x a grid of lateral
-    and yaw perturbations (closed-loop tracking error), then pads with
-    margins.  Feed the result to
+    and yaw perturbations (initial-scatter + closed-loop tracking error),
+    then pads with margins.  Feed the result to
     ``uncertainty_pallas.make_band_plan_bounds`` so the full-stack batched
     propagation's band radii cover every per-scenario vehicle-frame
     geometry the run can produce.  Must run OUTSIDE jit (concrete plan).
+
+    ``max_yaw_dev`` must bound the worst |ego_yaw - path_yaw| the run can
+    produce (default covers a 4-sigma tail of a 0.3 rad yaw scatter).  The
+    center is a ROTATION of global offsets by -ego_yaw, so its extrema
+    over the yaw range are interior, not at the endpoints — the sweep
+    samples ``n_yaw`` points across the whole interval.
 
     Returns ((x_lo, x_hi), (y_lo, y_hi)) Python floats.
     """
     import numpy as _np
 
-    wp = _np.asarray(waypoints, _np.float64)
     nv = int(n_valid)
-    wp = wp[:nv]
     if nv < 1:
         raise ValueError("corridor_center_bounds needs at least one waypoint")
-    nxt = wp[_np.minimum(_np.arange(nv) + 1, nv - 1)]
-    tang = nxt - wp
-    # forward-fill degenerate tail tangents with the last valid heading
-    ok = _np.einsum("ij,ij->i", tang, tang) > 1e-12
-    yaw = _np.arctan2(tang[:, 1], tang[:, 0])
-    last = _np.maximum.accumulate(_np.where(ok, _np.arange(nv), -1))
-    yaw = _np.where(last >= 0, yaw[_np.maximum(last, 0)], 0.0)
-
     wpj = jnp.asarray(waypoints)
     nj = jnp.asarray(n_valid)
+    wp = _np.asarray(waypoints, _np.float64)[:nv]
+    yaw = _np.asarray(
+        _path_headings(wpj, jnp.arange(nv), nj, jnp.asarray(0.0, wpj.dtype)),
+        _np.float64,
+    )
 
     def center_of(ego_xy, ego_yaw):
         c, _, _ = corridor_geometry(cp, wpj, nj, ego_xy, ego_yaw)
@@ -161,7 +171,7 @@ def corridor_center_bounds(
         # lateral = along heading - pi/2 (the corridor's own convention)
         exs = wp[:, 0] + lat * _np.cos(yaw - _np.pi / 2.0)
         eys = wp[:, 1] + lat * _np.sin(yaw - _np.pi / 2.0)
-        for dy in yaw_offsets:
+        for dy in _np.linspace(-max_yaw_dev, max_yaw_dev, n_yaw):
             cs = jax.vmap(center_of)(
                 jnp.asarray(_np.stack([exs, eys], -1), wpj.dtype),
                 jnp.asarray(yaw + dy, wpj.dtype),
@@ -558,6 +568,18 @@ def build_local_costmap_batched(
             band_plan = uncertainty_pallas.BandPlan(
                 ((0, cp.rows, cp.window_radius),), None
             )
+        elif band_plan.sigma_hi is not None:
+            # a cached plan built for smaller sigmas would silently
+            # truncate 95% ellipses (same guard as monte_carlo.monte_carlo
+            # applies for its sampled-sigma plans)
+            sh = band_plan.sigma_hi
+            if (cp.sigma_x > sh[0] or cp.sigma_y > sh[1]
+                    or cp.sigma_theta > sh[2]):
+                raise ValueError(
+                    f"band plan sized for sigma_hi={sh} but the costmap "
+                    f"uses ({cp.sigma_x}, {cp.sigma_y}, {cp.sigma_theta})"
+                    " — rebuild it with make_band_plan_bounds"
+                )
         unc = uncertainty_pallas.propagate_uncertainty_tpu_banded(
             cp, vehicle_map, geom, yaws, None, band_plan
         )

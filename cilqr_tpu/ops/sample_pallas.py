@@ -51,16 +51,17 @@ _TL = 128  # output tile cols (lane)
 _VMEM_MAP_BYTES = 12 * 1024 * 1024
 
 
-def _window_rows(res_v: float, res_g: float, cols: int) -> int:
-    """Static row-window size WR: the affine index extent over an 8 x cols
-    tile (worst rotation), +1 for the floor, +8 for sublane alignment of
-    the dynamic slice start, rounded up to a sublane multiple."""
-    extent = math.ceil((res_v / res_g) * math.hypot(_TS - 1, cols - 1)) + 1
-    return ((extent + 8) + 7) // 8 * 8
-
-
 def _col_extent(res_v: float, res_g: float, cols: int) -> int:
+    """Affine index extent over an 8 x cols tile (worst rotation), +1 for
+    the floor — the bound both window dimensions are sized from."""
     return math.ceil((res_v / res_g) * math.hypot(_TS - 1, cols - 1)) + 1
+
+
+def _window_rows(res_v: float, res_g: float, cols: int) -> int:
+    """Static row-window size WR: the tile extent +8 for sublane alignment
+    of the dynamic slice start, rounded up to a sublane multiple."""
+    extent = _col_extent(res_v, res_g, cols)
+    return ((extent + 8) + 7) // 8 * 8
 
 
 def supports(rows: int, cols: int, res_v: float, res_g: float,

@@ -183,9 +183,13 @@ class BandPlan(NamedTuple):
     sigma_hi: the (sigma_x, sigma_y, sigma_theta) upper bound the radii
     cover — consumers cross-check their own sampling bound against it
     (None when the plan is a plain full-map window);
-    x_range / y_range: the map-frame center interval the radii cover when
-    the plan was built for per-scenario frames (``make_band_plan_bounds``)
-    — None for a fixed shared center.
+    x_range / y_range: the map-frame center interval the radii cover
+    (``make_band_plan`` returns degenerate (c, c) intervals for its fixed
+    center; None only for hand-built full-window plans, whose single
+    worst-case radius needs no center bookkeeping).  The caller must
+    guarantee every per-scenario center stays inside the intervals —
+    centers are traced at propagation time, so no runtime check is
+    possible (see ``costmap.corridor_center_bounds``).
     """
 
     bands: tuple
