@@ -54,14 +54,18 @@ class FrenetParams:
 
     mode: str = "origin"
 
-    # lattice
+    # lattice.  T_min=1.0 keeps late swerves representable (a receding-
+    # horizon lattice re-starts its maneuver clock every cycle, so long-
+    # duration-only candidates never build lateral speed); v_frac_min=0.0
+    # includes full braking maneuvers so a blocked corridor degrades to a
+    # stop instead of an infeasible set.
     n_lat: int = 9           # lateral end-offset candidates in [-d_max, d_max]
     d_max: float = 3.0
-    n_T: int = 3             # maneuver durations in [T_min, T_max]
-    T_min: float = 2.0
+    n_T: int = 4             # maneuver durations in [T_min, T_max]
+    T_min: float = 1.0
     T_max: float = 4.0
     n_v: int = 5             # target speeds in [v_frac_min, v_frac_max]*v_des
-    v_frac_min: float = 0.4
+    v_frac_min: float = 0.0
     v_frac_max: float = 1.2
 
     # cost weights
@@ -339,15 +343,27 @@ def plan_step(
 
     # ---------------- select ----------------
     any_ok = jnp.any(feasible)
-    # if nothing is feasible fall back to the raw-cost winner (planner must
-    # always return a trajectory; the caller can inspect .lamb == 0)
     J_masked = jnp.where(feasible, J, jnp.inf)
-    J_sel = jnp.where(any_ok, J_masked, J)
-    best = jnp.argmin(J_sel)
+    best = jnp.argmin(jnp.where(any_ok, J_masked, J))
 
     oh = jax.nn.one_hot(best, K, dtype=dtype)
     Xb = jnp.einsum("k,knf->nf", oh, X,
                     precision=jax.lax.Precision.HIGHEST)   # (N+1, 4)
+
+    # Emergency-brake fallback: when NO candidate is collision-free the
+    # planner must not execute the least-cost colliding maneuver — it
+    # brakes at the actuation limit along the current heading (the
+    # trajectory the caller sees still carries .lamb == 0).
+    vb = jnp.maximum(v0 + p.acc_min * t, 0.0)               # (N+1,)
+    step_d = vb[:-1] * p.timestep
+    sb = jnp.concatenate([jnp.zeros((1,), dtype), jnp.cumsum(step_d)])
+    yaw0 = ego_state[3]
+    X_brake = jnp.stack(
+        [ego_state[0] + sb * jnp.cos(yaw0),
+         ego_state[1] + sb * jnp.sin(yaw0),
+         vb,
+         jnp.broadcast_to(yaw0, vb.shape)], axis=-1)
+    Xb = jnp.where(any_ok, Xb, X_brake)
 
     dv = jnp.diff(Xb[:, 2]) / p.timestep
     dyaw_dt = jnp.diff(jnp.unwrap(Xb[:, 3])) / p.timestep
@@ -359,8 +375,8 @@ def plan_step(
         ref_x=plan.x_wpts,
         ref_y=plan.y_fit,
         iterations=best.astype(jnp.int32),
-        # NOT a one-hot dot: J_sel holds +inf on masked candidates and
+        # NOT a one-hot dot: J_masked holds +inf on masked candidates and
         # 0 * inf = nan; the winner's cost is simply the min
-        J=jnp.min(J_sel),
+        J=jnp.where(any_ok, jnp.min(J_masked), jnp.min(J)),
         lamb=any_ok.astype(dtype),
     )

@@ -170,17 +170,39 @@ def test_frenet_propagation_avoids_uncertain_region(lane_setup):
     assert u.max() < fp.unc_threshold
 
 
-def test_frenet_infeasible_fallback(lane_setup):
+def test_frenet_blocked_corridor_brakes(lane_setup):
+    """With braking candidates in the lattice (v_frac_min=0) a blocked-but-
+    distant wall selects a feasible stopping maneuver."""
     p, plan, n = lane_setup
-    # a wall of obstacles covering every lateral offset
     ys = np.linspace(-306.74 - 4.0, -306.74 + 4.0, 5)
     ob = obs_mod.make_static_obstacles(
         p, [[112.0, y] for y in ys], [[4.8, 2.0]] * 5, [0.0] * 5,
         dtype=jnp.float64)
     ego = jnp.asarray([100.0, -306.74, 5.0, 0.0])
     res = jax.jit(lambda e: frenet.plan_step(p, frenet.FrenetParams(), plan, n, e, ob))(ego)
+    assert float(res.lamb) == 1.0          # a stop maneuver is feasible
+    X = np.asarray(res.X)
+    assert X[-1, 2] < 1.0                  # ... and it brakes
+    assert X[:, 0].max() < 112.0 - 2.4     # never reaches the wall
+
+
+def test_frenet_infeasible_fallback_emergency_brake(lane_setup):
+    """Inside the inflated safety set of a wall, nothing is feasible — the
+    fallback is a max-deceleration straight-line stop, not the least-cost
+    colliding candidate."""
+    p, plan, n = lane_setup
+    ys = np.linspace(-306.74 - 4.0, -306.74 + 4.0, 5)
+    ob = obs_mod.make_static_obstacles(
+        p, [[112.0, y] for y in ys], [[4.8, 2.0]] * 5, [0.0] * 5,
+        dtype=jnp.float64)
+    ego = jnp.asarray([109.0, -306.74, 5.0, 0.0])
+    res = jax.jit(lambda e: frenet.plan_step(p, frenet.FrenetParams(), plan, n, e, ob))(ego)
     assert float(res.lamb) == 0.0          # flagged infeasible
-    assert np.isfinite(np.asarray(res.X)).all()  # still returns a trajectory
+    X = np.asarray(res.X)
+    assert np.isfinite(X).all()
+    assert X[-1, 2] == 0.0                 # brakes to a stop
+    np.testing.assert_allclose(X[:, 3], 0.0, atol=1e-9)  # straight line
+    assert float(res.U[0, 0]) <= p.acc_min + 1e-6
 
 
 def test_frenet_expansion_requires_sigmas(lane_setup):
