@@ -88,4 +88,50 @@ jax.block_until_ready((rm, rn))
 dm = float(jnp.max(jnp.abs(rm.U - rn.U)))
 print("masked-obstacle delta:", dm)
 assert dm == 0.0, dm
+
+# full-stack batched closed loop (per-scenario costmaps + hybrid mega solve
+# + banded propagation + Pallas prior resample), small shapes
+from cilqr_tpu.ops import uncertainty_pallas
+from cilqr_tpu.sim import plant
+from cilqr_tpu.utils.params import NoiseParams
+
+xr, yr = costmap.corridor_center_bounds(cp, plan[:, :2], n)
+band = uncertainty_pallas.make_band_plan_bounds(
+    cp, cp.rows, cp.cols, xr, yr, (cp.sigma_x, cp.sigma_y, cp.sigma_theta))
+Bfs = 256
+rng = np.random.default_rng(0)
+x0s = jnp.asarray(np.asarray(ego)[None, :] + rng.normal(0, 0.3, (Bfs, 4)), f32)
+fs = jax.jit(lambda x, k: plant.closed_loop_full_stack_batched(
+    p, cp, NoiseParams(), jnp.asarray(gm, f32), ggeom, plan[:, :2], n, x, k, 2,
+    obstacles=ob, band_plan=band, global_res=0.5))
+t0 = time.perf_counter()
+xf, recs = fs(x0s, jax.random.key(0))
+jax.block_until_ready(xf)
+print(f"full-stack batched (B={Bfs}, 2 cycles): {time.perf_counter()-t0:.1f}s "
+      f"umax={float(jnp.max(recs['uncertainty_max'])):.1f}")
+assert np.isfinite(np.asarray(xf)).all()
+assert 0.0 <= float(jnp.max(recs["uncertainty_max"])) <= 100.0
+
+# Monte-Carlo fast path (per-scenario sampled covariances)
+from cilqr_tpu.parallel import monte_carlo as mc_mod
+
+sigma_hi = (0.16, 0.16, 0.017)
+center = (cp.x_position, cp.y_position)
+cpm = mc_mod.ensure_window_covers(cp, cp.rows, cp.cols, center, sigma_hi)
+mc_band = uncertainty_pallas.make_band_plan(cpm, cpm.rows, cpm.cols, center, sigma_hi)
+mc_prior = jnp.asarray(rng.uniform(0, 100, (cpm.rows, cpm.cols)), f32)
+mc_geom = gridmap.make_geom(center, cpm.resolution, cpm.rows, cpm.cols, dtype=f32)
+ego_np = np.asarray(ego)
+samp = mc_mod.sample_scenarios(jax.random.key(1), 256, ego_np,
+                               sigma_hi=sigma_hi, dtype=f32)
+mc_xy = jnp.asarray(ego_np[:2], f32)
+mc_yaw = jnp.asarray(ego_np[3], f32)
+mc = jax.jit(lambda sg, eg: mc_mod.monte_carlo(
+    p, cpm, mc_prior, mc_geom, mc_xy, mc_yaw, plan, n,
+    mc_mod.MCSample(sg, eg), ob,
+    sigma_hi=sigma_hi, impl="fast", band_plan=mc_band))
+t0 = time.perf_counter()
+out = mc(samp.sigmas, samp.egos)
+jax.block_until_ready(out)
+print(f"monte-carlo fast path (B=256): {time.perf_counter()-t0:.1f}s")
 print("E2E DRIVE OK")
