@@ -22,6 +22,7 @@ Design:
 from __future__ import annotations
 
 import functools
+import math as _math
 from typing import NamedTuple
 
 import jax
@@ -33,10 +34,15 @@ from cilqr_tpu.ops import costmap as costmap_mod
 from cilqr_tpu.ops import gridmap
 from cilqr_tpu.utils.params import CostmapParams
 
+# row-offset static-unroll ceiling: windows larger than this many offsets
+# keep the fori_loop (compile time of the unrolled body grows with area)
+_UNROLL_MAX_OFFSETS = 4096
+
 
 def _accumulate(R: int, res: float, chi2: float, rows: int, cols: int,
                 prior_pad_ref, sx, sy, rho,
-                row0: int = 0, total_rows: int = None):
+                row0: int = 0, total_rows: int = None,
+                r_disc: float = None, unroll_rows: bool = False):
     """Shared accumulation body: (num, den) of the Gaussian-weighted ellipse
     average for ``rows`` map rows given their per-cell covariance fields.
 
@@ -45,9 +51,18 @@ def _accumulate(R: int, res: float, chi2: float, rows: int, cols: int,
     ``prior_pad_ref``; the in-map masks and padded slicing then use global
     row ids.  Enlarging/shrinking the window is EXACT as long as it covers
     every cell's 95% ellipse — offsets beyond the ellipse contribute
-    w = 0."""
+    w = 0.
+
+    ``r_disc`` (cells, float): exact disc cut.  Every point of every cell's
+    95% ellipse satisfies |d|^2 <= chi^2 lambda_max(cov) <= (r_disc res)^2
+    when r_disc = chi sqrt(max(sx_hi, sy_hi)^2 + st_hi^2 lever_max^2) / res
+    (lambda_max(A+B) <= lambda_max(A) + lambda_max(B) on the diagonal +
+    rank-1 split), so offsets with di^2 + dj^2 > r_disc^2 are statically
+    skipped — the (2R+1)^2 square shrinks to its inscribed disc (~pi/4 of
+    the trips) with bit-identical results."""
     if total_rows is None:
         total_rows = rows
+    r_disc2 = None if r_disc is None else float(r_disc) * float(r_disc)
     W = 2 * R + 1
     one_m_rho2 = 1.0 - rho * rho
     inv_det2 = 1.0 / (2.0 * one_m_rho2)
@@ -72,6 +87,14 @@ def _accumulate(R: int, res: float, chi2: float, rows: int, cols: int,
     num0 = jnp.zeros((rows, cols), jnp.float32)
     num, den = num0, num0
     for dj in range(W):
+        dj_off = dj - R
+        if r_disc2 is not None and dj_off * dj_off > r_disc2:
+            continue  # whole column of offsets outside the disc: w = 0
+        if r_disc2 is None:
+            di_lo, di_hi = 0, W
+        else:
+            m = min(R, int(_math.floor(_math.sqrt(r_disc2 - dj_off * dj_off))))
+            di_lo, di_hi = R - m, R + m + 1
         dy = -(dj - R) * res
         zy = dy * inv_sy
         # q = zx^2 - 2 rho zx zy + zy^2 = (zx - t2) zx + zy2 with the per-dj
@@ -85,7 +108,9 @@ def _accumulate(R: int, res: float, chi2: float, rows: int, cols: int,
             # neighbor j at index offset (di-R, dj-R) -> position offset
             # (-(di-R)*res, -(dj-R)*res)
             dif = di - R
-            dx = -dif.astype(jnp.float32) * res
+            dx = -jnp.float32(dif) * res if isinstance(di, int) else (
+                -(dif).astype(jnp.float32) * res
+            )
             if prior_pad_ref.ndim == 3:  # per-scenario prior block (1, ., .)
                 p_j = prior_pad_ref[0, pl.ds(di + row0, rows), dj : dj + cols]
             else:
@@ -97,7 +122,13 @@ def _accumulate(R: int, res: float, chi2: float, rows: int, cols: int,
             w = jnp.where((q <= thresh) & in_map, f, 0.0)
             return (num + w * p_j, den + w)
 
-        num, den = jax.lax.fori_loop(0, W, body, (num, den))
+        if unroll_rows:
+            # static di: every prior slice is a compile-time VMEM address
+            # (no dynamic sublane shift per offset)
+            for di in range(di_lo, di_hi):
+                num, den = body(di, (num, den))
+        else:
+            num, den = jax.lax.fori_loop(di_lo, di_hi, body, (num, den))
     return num, den
 
 
@@ -161,7 +192,7 @@ def propagate_uncertainty_tpu(
 
 
 def _kernel_band(R: int, res: float, chi2: float, band_rows: int, cols: int,
-                 row0: int, total_rows: int,
+                 row0: int, total_rows: int, r_disc, unroll_rows,
                  prior_pad_ref, sx_ref, sy_ref, rho_ref, psd_ref,
                  prior_ref, out_ref):
     """grid=(B,) program for one row band of one scenario.  The R-padded
@@ -171,7 +202,8 @@ def _kernel_band(R: int, res: float, chi2: float, band_rows: int, cols: int,
     row0=0 with band_rows=total_rows is the plain full-map batched case."""
     num, den = _accumulate(R, res, chi2, band_rows, cols, prior_pad_ref,
                            sx_ref[0], sy_ref[0], rho_ref[0],
-                           row0=row0, total_rows=total_rows)
+                           row0=row0, total_rows=total_rows, r_disc=r_disc,
+                           unroll_rows=unroll_rows)
     prior = prior_ref[0] if prior_ref.ndim == 3 else prior_ref[:]
     out_ref[0] = _finish(num, den, psd_ref[0], prior)
 
@@ -196,6 +228,9 @@ class BandPlan(NamedTuple):
     sigma_hi: tuple | None
     x_range: tuple | None = None
     y_range: tuple | None = None
+    # per-band float disc radii (cells) for the exact disc cut inside the
+    # accumulation (see _accumulate's r_disc); None = full square window
+    disc_radii: tuple | None = None
 
 
 def _prep_fields(cp: CostmapParams, geom, ego_yaw, sigmas, faithful_rho,
@@ -318,16 +353,22 @@ def make_band_plan_bounds(cp: CostmapParams, rows: int, cols: int,
         / res
     ).astype(int)
     need = _np.maximum(need, 1)
+    # exact disc radius: |d| <= chi sqrt(lambda_max) with
+    # lambda_max <= max(s_x, s_y)^2 + s_t^2 lever^2 (diag + rank-1 split)
+    s_m = max(s_x, s_y)
+    disc = cp.chisquare_val * _np.sqrt(s_m * s_m + s_t * s_t * lever * lever) / res
     n_b = min(max_bands, rows)
     bounds = _np.linspace(0, rows, n_b + 1).astype(int)
     bands = []
+    radii = []
     for i in range(n_b):
         r0, r1 = int(bounds[i]), int(bounds[i + 1])
         if r1 > r0:
             bands.append((r0, r1 - r0, int(need[r0:r1].max())))
+            radii.append(float(disc[r0:r1].max()))
     return BandPlan(
         tuple(bands), (float(s_x), float(s_y), float(s_t)),
-        (x_lo, x_hi), (y_lo, y_hi),
+        (x_lo, x_hi), (y_lo, y_hi), tuple(radii),
     )
 
 
@@ -340,15 +381,27 @@ def propagate_uncertainty_tpu_banded(
     band_plan,
     faithful_rho: bool = False,
     interpret=None,
+    unroll_rows=None,
 ) -> jax.Array:
     """Banded variant of ``propagate_uncertainty_tpu_batched``: one
     pallas_call per row band, each with that band's own (smaller) window
     radius from ``make_band_plan``.  Exact (not an approximation) as long
-    as the sampled sigmas stay within the plan's sigma_hi bound."""
+    as the sampled sigmas stay within the plan's sigma_hi bound.
+
+    ``unroll_rows``: statically unroll the row-offset loop — every prior
+    window load becomes a compile-time VMEM address instead of one dynamic
+    sublane slice per offset, measured 5.3x faster at the full-stack
+    geometry (228 -> 43 ms at B=4096, R=7-8) for ~1s extra compile.
+    Default (None): on for compiled runs whenever the window holds at most
+    ``_UNROLL_MAX_OFFSETS`` offsets (compile time grows with window area);
+    off in interpret mode."""
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
     rows, cols = prior.shape[-2:]
     bands = band_plan.bands if isinstance(band_plan, BandPlan) else tuple(band_plan)
+    disc_radii = (
+        band_plan.disc_radii if isinstance(band_plan, BandPlan) else None
+    ) or (None,) * len(bands)
     covered = 0
     for (r0, br, _) in bands:
         if r0 != covered:
@@ -368,7 +421,13 @@ def propagate_uncertainty_tpu_banded(
     B = sxb.shape[0]
 
     outs = []
-    for (r0, br, Rb) in bands:
+    for (r0, br, Rb), r_disc in zip(bands, disc_radii):
+        if unroll_rows is None:
+            band_unroll = (
+                not interpret and (2 * Rb + 1) ** 2 <= _UNROLL_MAX_OFFSETS
+            )
+        else:
+            band_unroll = bool(unroll_rows)
         if prior_batched:
             prior_pad = jnp.pad(prior32, ((0, 0), (Rb, Rb), (Rb, Rb)))
         else:
@@ -376,6 +435,7 @@ def propagate_uncertainty_tpu_banded(
         kern = functools.partial(
             _kernel_band, Rb, float(cp.resolution),
             float(cp.chisquare_val**2), br, cols, r0, rows,
+            None if r_disc is None else float(r_disc), band_unroll,
         )
         per_b = pl.BlockSpec((1, br, cols), lambda b: (b, 0, 0),
                              memory_space=pltpu.VMEM)

@@ -69,6 +69,11 @@ def test_banded_kernel_bit_identical_to_full_window():
     assert plan.sigma_hi == sigma_hi
     assert len(plan.bands) >= 2
     assert all(r <= cp.window_radius for _, _, r in plan.bands)
+    # the disc cut must be present and actually cut corners off the square
+    assert plan.disc_radii is not None and len(plan.disc_radii) == len(plan.bands)
+    assert all(
+        rd < (2 ** 0.5) * r for (_, _, r), rd in zip(plan.bands, plan.disc_radii)
+    )
     banded = uncertainty_pallas.propagate_uncertainty_tpu_banded(
         cp, prior, geom, yaw, sigmas, plan, interpret=True
     )
