@@ -81,20 +81,11 @@ def supports(rows: int, cols: int, res_v: float, res_g: float,
     return True
 
 
-def _kernel(rows: int, cols: int, res_v: float, H: int, W: int, Wpad: int,
-            WR: int, map_ref, scl_ref, gscl_ref, out_ref):
+def _tile_body(t, rows: int, cols: int, res_v: float, H: int, W: int,
+               Wpad: int, WR: int, map_ref, scal, out_ref,
+               whole_map: bool = False):
     f32 = jnp.float32
-    t = pl.program_id(1)
-
-    first_x = scl_ref[0, 0, 0]
-    first_y = scl_ref[0, 0, 1]
-    ego_x = scl_ref[0, 0, 2]
-    ego_y = scl_ref[0, 0, 3]
-    cyaw = scl_ref[0, 0, 4]
-    syaw = scl_ref[0, 0, 5]
-    top_x = gscl_ref[0, 0]
-    top_y = gscl_ref[0, 1]
-    res_g = gscl_ref[0, 2]
+    (first_x, first_y, ego_x, ego_y, cyaw, syaw, top_x, top_y, res_g) = scal
 
     # vehicle-frame cell centers (cell_positions semantics); padding lanes
     # replicate the last column so they never widen the source window
@@ -127,12 +118,37 @@ def _kernel(rows: int, cols: int, res_v: float, H: int, W: int, Wpad: int,
         rowv = jnp.broadcast_to(wslice[r : r + 1, :], (_TS, _TL))
         g = jnp.take_along_axis(rowv, lc, axis=1)
         v = jnp.where(lr == r, g, v)
-    out_ref[0] = v
+    if whole_map:  # per-scenario whole-map block (1, T*_TS, _TL); t static
+        out_ref[0, t * _TS : (t + 1) * _TS, :] = v
+    else:          # one (1, _TS, _TL) tile block; t = program_id
+        out_ref[0] = v
 
 
-@functools.partial(jax.jit, static_argnums=(0, 1, 2, 3, 8))
+def _kernel(rows: int, cols: int, res_v: float, H: int, W: int, Wpad: int,
+            WR: int, map_ref, scl_ref, gscl_ref, out_ref):
+    scal = (scl_ref[0, 0, 0], scl_ref[0, 0, 1], scl_ref[0, 0, 2],
+            scl_ref[0, 0, 3], scl_ref[0, 0, 4], scl_ref[0, 0, 5],
+            gscl_ref[0, 0], gscl_ref[0, 1], gscl_ref[0, 2])
+    _tile_body(pl.program_id(1), rows, cols, res_v, H, W, Wpad, WR,
+               map_ref, scal, out_ref)
+
+
+def _kernel_fused(T: int, rows: int, cols: int, res_v: float, H: int, W: int,
+                  Wpad: int, WR: int, map_ref, scl_ref, gscl_ref, out_ref):
+    """grid=(B,): all T row tiles of one scenario per grid step — amortizes
+    per-step dispatch/block overhead over the whole map (the (B, T) grid
+    pays it per 8-row tile)."""
+    scal = (scl_ref[0, 0, 0], scl_ref[0, 0, 1], scl_ref[0, 0, 2],
+            scl_ref[0, 0, 3], scl_ref[0, 0, 4], scl_ref[0, 0, 5],
+            gscl_ref[0, 0], gscl_ref[0, 1], gscl_ref[0, 2])
+    for t in range(T):
+        _tile_body(t, rows, cols, res_v, H, W, Wpad, WR,
+                   map_ref, scal, out_ref, whole_map=True)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1, 2, 3, 8, 9))
 def _sample(rows: int, cols: int, res_v: float, WR: int, global_map, gscl,
-            firsts, egos_cs, interpret: bool):
+            firsts, egos_cs, interpret: bool, fused: bool):
     H, W = global_map.shape
     Hp = -(-H // _TS) * _TS
     Wp = -(-W // _TL) * _TL
@@ -145,28 +161,53 @@ def _sample(rows: int, cols: int, res_v: float, WR: int, global_map, gscl,
     scl = jnp.concatenate([firsts, egos_cs], axis=1).astype(jnp.float32)
     scl = jnp.pad(scl, ((0, 0), (0, 8 - scl.shape[1])))[:, None, :]  # (B,1,8)
 
-    kern = functools.partial(_kernel, rows, cols, float(res_v), H, W, Wp, WR)
-    out = pl.pallas_call(
-        kern,
-        grid=(B, T),
-        in_specs=[
-            pl.BlockSpec(mpad.shape, lambda b, t: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, 8), lambda b, t: (b, 0, 0),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 8), lambda b, t: (0, 0),
-                         memory_space=pltpu.SMEM),
-        ],
-        out_specs=pl.BlockSpec((1, _TS, _TL), lambda b, t: (b, t, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B, T * _TS, _TL), jnp.float32),
-        cost_estimate=pl.CostEstimate(
-            flops=B * T * WR * 3 * _TS * _TL,
-            bytes_accessed=4 * (Hp * Wp + B * T * _TS * _TL),
-            transcendentals=0,
-        ),
-        interpret=interpret,
-    )(mpad, scl, jnp.asarray(gscl, jnp.float32))
+    cost = pl.CostEstimate(
+        flops=B * T * WR * 3 * _TS * _TL,
+        bytes_accessed=4 * (Hp * Wp + B * T * _TS * _TL),
+        transcendentals=0,
+    )
+    if fused:
+        kern = functools.partial(
+            _kernel_fused, T, rows, cols, float(res_v), H, W, Wp, WR
+        )
+        out = pl.pallas_call(
+            kern,
+            grid=(B,),
+            in_specs=[
+                pl.BlockSpec(mpad.shape, lambda b: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, 8), lambda b: (b, 0, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, 8), lambda b: (0, 0),
+                             memory_space=pltpu.SMEM),
+            ],
+            out_specs=pl.BlockSpec((1, T * _TS, _TL), lambda b: (b, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((B, T * _TS, _TL), jnp.float32),
+            cost_estimate=cost,
+            interpret=interpret,
+        )(mpad, scl, jnp.asarray(gscl, jnp.float32))
+    else:
+        kern = functools.partial(
+            _kernel, rows, cols, float(res_v), H, W, Wp, WR
+        )
+        out = pl.pallas_call(
+            kern,
+            grid=(B, T),
+            in_specs=[
+                pl.BlockSpec(mpad.shape, lambda b, t: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, 8), lambda b, t: (b, 0, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, 8), lambda b, t: (0, 0),
+                             memory_space=pltpu.SMEM),
+            ],
+            out_specs=pl.BlockSpec((1, _TS, _TL), lambda b, t: (b, t, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((B, T * _TS, _TL), jnp.float32),
+            cost_estimate=cost,
+            interpret=interpret,
+        )(mpad, scl, jnp.asarray(gscl, jnp.float32))
     return out[:, :rows, :cols]
 
 
@@ -181,6 +222,7 @@ def sample_prior_batched_tpu(
     ego_xys: jax.Array,
     ego_yaws: jax.Array,
     interpret=None,
+    fused: bool = True,
 ) -> jax.Array:
     """Batched drop-in for ``vmap(costmap.sample_prior)``: (B, rows, cols)
     nearest-cell resample of one shared global map at B vehicle frames.
@@ -210,5 +252,5 @@ def sample_prior_batched_tpu(
     WR = _window_rows(float(res_v), float(res_g), cols)
     return _sample(
         rows, cols, float(res_v), WR, global_map, gscl, firsts, egos_cs,
-        bool(interpret),
+        bool(interpret), bool(fused),
     )

@@ -42,7 +42,8 @@ _UNROLL_MAX_OFFSETS = 4096
 def _accumulate(R: int, res: float, chi2: float, rows: int, cols: int,
                 prior_pad_ref, sx, sy, rho,
                 row0: int = 0, total_rows: int = None,
-                r_disc: float = None, unroll_rows: bool = False):
+                r_disc: float = None, unroll_rows: bool = False,
+                pad_off: int = 0):
     """Shared accumulation body: (num, den) of the Gaussian-weighted ellipse
     average for ``rows`` map rows given their per-cell covariance fields.
 
@@ -63,6 +64,8 @@ def _accumulate(R: int, res: float, chi2: float, rows: int, cols: int,
     if total_rows is None:
         total_rows = rows
     r_disc2 = None if r_disc is None else float(r_disc) * float(r_disc)
+    # pad_off: extra padding margin when prior_pad_ref was padded by more
+    # than R (the fused-band kernel pads once with the max band radius)
     W = 2 * R + 1
     one_m_rho2 = 1.0 - rho * rho
     inv_det2 = 1.0 / (2.0 * one_m_rho2)
@@ -112,9 +115,15 @@ def _accumulate(R: int, res: float, chi2: float, rows: int, cols: int,
                 -(dif).astype(jnp.float32) * res
             )
             if prior_pad_ref.ndim == 3:  # per-scenario prior block (1, ., .)
-                p_j = prior_pad_ref[0, pl.ds(di + row0, rows), dj : dj + cols]
+                p_j = prior_pad_ref[
+                    0, pl.ds(di + row0 + pad_off, rows),
+                    dj + pad_off : dj + pad_off + cols,
+                ]
             else:
-                p_j = prior_pad_ref[pl.ds(di + row0, rows), dj : dj + cols]
+                p_j = prior_pad_ref[
+                    pl.ds(di + row0 + pad_off, rows),
+                    dj + pad_off : dj + pad_off + cols,
+                ]
             in_map = col_ok & (dif >= row_lo) & (dif < row_hi)
             zx = dx * inv_sx
             q = (zx - t2) * zx + zy2
@@ -206,6 +215,29 @@ def _kernel_band(R: int, res: float, chi2: float, band_rows: int, cols: int,
                            unroll_rows=unroll_rows)
     prior = prior_ref[0] if prior_ref.ndim == 3 else prior_ref[:]
     out_ref[0] = _finish(num, den, psd_ref[0], prior)
+
+
+def _kernel_bands_fused(res: float, chi2: float, cols: int, total_rows: int,
+                        bands, disc_radii, pad: int, unrolls,
+                        prior_pad_ref, sx_ref, sy_ref, rho_ref, psd_ref,
+                        prior_ref, out_ref):
+    """grid=(B,): ALL row bands of one scenario in one program — one padded
+    prior (max band radius) instead of one per band, 1/len(bands) the grid
+    steps.  Field refs are full-map blocks; bands statically slice them."""
+    for (r0, br, Rb), r_disc, unroll in zip(bands, disc_radii, unrolls):
+        sl = lambda ref: ref[0, r0 : r0 + br, :]
+        num, den = _accumulate(
+            Rb, res, chi2, br, cols, prior_pad_ref,
+            sl(sx_ref), sl(sy_ref), sl(rho_ref),
+            row0=r0, total_rows=total_rows,
+            r_disc=None if r_disc is None else float(r_disc),
+            unroll_rows=unroll, pad_off=pad - Rb,
+        )
+        prior_b = (
+            prior_ref[0, r0 : r0 + br, :] if prior_ref.ndim == 3
+            else prior_ref[r0 : r0 + br, :]
+        )
+        out_ref[0, r0 : r0 + br, :] = _finish(num, den, sl(psd_ref), prior_b)
 
 
 class BandPlan(NamedTuple):
@@ -382,6 +414,7 @@ def propagate_uncertainty_tpu_banded(
     faithful_rho: bool = False,
     interpret=None,
     unroll_rows=None,
+    fuse_bands: bool = True,
 ) -> jax.Array:
     """Banded variant of ``propagate_uncertainty_tpu_batched``: one
     pallas_call per row band, each with that band's own (smaller) window
@@ -420,14 +453,63 @@ def propagate_uncertainty_tpu_banded(
     )
     B = sxb.shape[0]
 
+    def band_unroll_of(Rb):
+        if unroll_rows is None:
+            return not interpret and (2 * Rb + 1) ** 2 <= _UNROLL_MAX_OFFSETS
+        return bool(unroll_rows)
+
+    if fuse_bands:
+        # one program per scenario covering every band: one max-radius
+        # padded prior (instead of one padded copy per band) and
+        # 1/len(bands) the grid dispatches
+        P = max(Rb for (_, _, Rb) in bands)
+        if prior_batched:
+            prior_pad = jnp.pad(prior32, ((0, 0), (P, P), (P, P)))
+        else:
+            prior_pad = jnp.pad(prior32, P)
+        unrolls = tuple(band_unroll_of(Rb) for (_, _, Rb) in bands)
+        kern = functools.partial(
+            _kernel_bands_fused, float(cp.resolution),
+            float(cp.chisquare_val**2), cols, rows,
+            tuple(bands),
+            tuple(None if r is None else float(r) for r in disc_radii),
+            P, unrolls,
+        )
+        per_b = pl.BlockSpec((1, rows, cols), lambda b: (b, 0, 0),
+                             memory_space=pltpu.VMEM)
+        shared = lambda arr: pl.BlockSpec(
+            arr.shape, lambda b: (0,) * arr.ndim, memory_space=pltpu.VMEM
+        )
+        if prior_batched:
+            ppad_spec = pl.BlockSpec(
+                (1,) + prior_pad.shape[1:], lambda b: (b, 0, 0),
+                memory_space=pltpu.VMEM,
+            )
+            prior_spec = per_b
+        else:
+            ppad_spec = shared(prior_pad)
+            prior_spec = shared(prior32)
+        flops = sum(
+            B * (2 * Rb + 1) ** 2 * br * cols * 12 for (_, br, Rb) in bands
+        )
+        out = pl.pallas_call(
+            kern,
+            grid=(B,),
+            in_specs=[ppad_spec, per_b, per_b, per_b, per_b, prior_spec],
+            out_specs=per_b,
+            out_shape=jax.ShapeDtypeStruct((B, rows, cols), jnp.float32),
+            cost_estimate=pl.CostEstimate(
+                flops=flops,
+                bytes_accessed=4 * rows * cols * (5 * B + 2),
+                transcendentals=flops // 12,
+            ),
+            interpret=interpret,
+        )(prior_pad, sxb, syb, rhob, psdb, prior32)
+        return out.astype(prior.dtype)
+
     outs = []
     for (r0, br, Rb), r_disc in zip(bands, disc_radii):
-        if unroll_rows is None:
-            band_unroll = (
-                not interpret and (2 * Rb + 1) ** 2 <= _UNROLL_MAX_OFFSETS
-            )
-        else:
-            band_unroll = bool(unroll_rows)
+        band_unroll = band_unroll_of(Rb)
         if prior_batched:
             prior_pad = jnp.pad(prior32, ((0, 0), (Rb, Rb), (Rb, Rb)))
         else:

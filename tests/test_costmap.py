@@ -201,9 +201,11 @@ def test_corridor_center_bounds_cover_route(global_plan):
     assert (c[:, 1] >= y_lo).all() and (c[:, 1] <= y_hi).all()
 
 
-def test_sample_prior_pallas_matches_xla(global_plan):
+@pytest.mark.parametrize("fused", [True, False])
+def test_sample_prior_pallas_matches_xla(global_plan, fused):
     """Window-gather Pallas sampler (sample_pallas) vs vmapped sample_prior:
-    bit-identical f32 nearest resample across frames and yaw quadrants."""
+    bit-identical f32 nearest resample across frames and yaw quadrants,
+    for both the fused grid=(B,) and the per-tile grid=(B, T) forms."""
     import jax
 
     from cilqr_tpu.ops import sample_pallas
@@ -229,7 +231,7 @@ def test_sample_prior_pallas_matches_xla(global_plan):
 
     assert sample_pallas.supports(rows, cols, res_v, res_g, H, W)
     got = sample_pallas.sample_prior_batched_tpu(
-        geoms, rows, cols, res_v, res_g, gmap, ggeom, egos, yaws
+        geoms, rows, cols, res_v, res_g, gmap, ggeom, egos, yaws, fused=fused
     )
     want = jax.vmap(
         lambda g, e, y: costmap.sample_prior(g, rows, cols, gmap, ggeom, e, y)

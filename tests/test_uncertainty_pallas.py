@@ -153,6 +153,49 @@ def test_band_plan_bounds_bit_identical_over_center_interval():
     np.testing.assert_array_equal(np.asarray(banded), np.asarray(full))
 
 
+def test_fused_band_kernel_bit_identical_to_per_band_calls():
+    """fuse_bands=True (one program per scenario, single max-radius pad)
+    vs the per-band pallas_call loop: bit-identical on both the
+    shared-prior and per-scenario-prior layouts."""
+    import jax
+
+    cp = dataclasses.replace(CostmapParams(), rows=40, cols=20, window_radius=12)
+    rng = np.random.default_rng(7)
+    sigma_hi = (0.16, 0.16, 0.017)
+    plan = uncertainty_pallas.make_band_plan(cp, 40, 20, (4.0, 0.0), sigma_hi)
+    yaw = jnp.asarray(0.4, jnp.float32)
+    geom = gridmap.make_geom([4.0, 0.0], cp.resolution, 40, 20, dtype=jnp.float32)
+
+    # shared prior + per-scenario sigmas (Monte-Carlo layout)
+    prior = jnp.asarray(rng.uniform(0, 100, (40, 20)), jnp.float32)
+    sigmas = jnp.asarray(
+        np.concatenate([rng.uniform(0.005, 0.16, (4, 2)),
+                        rng.uniform(0.005, 0.017, (4, 1))], axis=1),
+        jnp.float32,
+    )
+    a = uncertainty_pallas.propagate_uncertainty_tpu_banded(
+        cp, prior, geom, yaw, sigmas, plan, interpret=True, fuse_bands=True)
+    b = uncertainty_pallas.propagate_uncertainty_tpu_banded(
+        cp, prior, geom, yaw, sigmas, plan, interpret=True, fuse_bands=False)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # per-scenario priors + frames (full-stack layout)
+    B = 3
+    priors = jnp.asarray(rng.uniform(0, 100, (B, 40, 20)), jnp.float32)
+    centers = jnp.asarray([[3.9, 0.0], [4.1, 0.1], [4.0, -0.1]], jnp.float32)
+    geoms = jax.vmap(
+        lambda c: gridmap.make_geom(c, cp.resolution, 40, 20, dtype=jnp.float32)
+    )(centers)
+    yaws = jnp.asarray([0.1, 0.5, -0.3], jnp.float32)
+    plan_b = uncertainty_pallas.make_band_plan_bounds(
+        cp, 40, 20, (3.9, 4.1), (-0.1, 0.1), sigma_hi)
+    a = uncertainty_pallas.propagate_uncertainty_tpu_banded(
+        cp, priors, geoms, yaws, None, plan_b, interpret=True, fuse_bands=True)
+    b = uncertainty_pallas.propagate_uncertainty_tpu_banded(
+        cp, priors, geoms, yaws, None, plan_b, interpret=True, fuse_bands=False)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_band_plan_bounds_radii_cover_required():
     """Per-band radii dominate required_window_radius at the worst center
     of the interval (sampled check)."""
