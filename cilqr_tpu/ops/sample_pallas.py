@@ -166,48 +166,41 @@ def _sample(rows: int, cols: int, res_v: float, WR: int, global_map, gscl,
         bytes_accessed=4 * (Hp * Wp + B * T * _TS * _TL),
         transcendentals=0,
     )
+    # the fused form runs all T row tiles in one grid step per scenario
+    # (amortizes per-step dispatch); the (B, T) form keeps one tile per step
     if fused:
         kern = functools.partial(
             _kernel_fused, T, rows, cols, float(res_v), H, W, Wp, WR
         )
-        out = pl.pallas_call(
-            kern,
-            grid=(B,),
-            in_specs=[
-                pl.BlockSpec(mpad.shape, lambda b: (0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, 1, 8), lambda b: (b, 0, 0),
-                             memory_space=pltpu.SMEM),
-                pl.BlockSpec((1, 8), lambda b: (0, 0),
-                             memory_space=pltpu.SMEM),
-            ],
-            out_specs=pl.BlockSpec((1, T * _TS, _TL), lambda b: (b, 0, 0),
-                                   memory_space=pltpu.VMEM),
-            out_shape=jax.ShapeDtypeStruct((B, T * _TS, _TL), jnp.float32),
-            cost_estimate=cost,
-            interpret=interpret,
-        )(mpad, scl, jnp.asarray(gscl, jnp.float32))
+        grid = (B,)
+        batch_ix = lambda b: (b, 0, 0)
+        fixed2 = lambda b: (0, 0)
+        fixed_scl = lambda b: (0, 0)
+        out_spec = pl.BlockSpec((1, T * _TS, _TL), lambda b: (b, 0, 0),
+                                memory_space=pltpu.VMEM)
     else:
         kern = functools.partial(
             _kernel, rows, cols, float(res_v), H, W, Wp, WR
         )
-        out = pl.pallas_call(
-            kern,
-            grid=(B, T),
-            in_specs=[
-                pl.BlockSpec(mpad.shape, lambda b, t: (0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, 1, 8), lambda b, t: (b, 0, 0),
-                             memory_space=pltpu.SMEM),
-                pl.BlockSpec((1, 8), lambda b, t: (0, 0),
-                             memory_space=pltpu.SMEM),
-            ],
-            out_specs=pl.BlockSpec((1, _TS, _TL), lambda b, t: (b, t, 0),
-                                   memory_space=pltpu.VMEM),
-            out_shape=jax.ShapeDtypeStruct((B, T * _TS, _TL), jnp.float32),
-            cost_estimate=cost,
-            interpret=interpret,
-        )(mpad, scl, jnp.asarray(gscl, jnp.float32))
+        grid = (B, T)
+        batch_ix = lambda b, t: (b, 0, 0)
+        fixed2 = lambda b, t: (0, 0)
+        fixed_scl = lambda b, t: (0, 0)
+        out_spec = pl.BlockSpec((1, _TS, _TL), lambda b, t: (b, t, 0),
+                                memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        kern,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(mpad.shape, fixed2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 8), batch_ix, memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 8), fixed_scl, memory_space=pltpu.SMEM),
+        ],
+        out_specs=out_spec,
+        out_shape=jax.ShapeDtypeStruct((B, T * _TS, _TL), jnp.float32),
+        cost_estimate=cost,
+        interpret=interpret,
+    )(mpad, scl, jnp.asarray(gscl, jnp.float32))
     return out[:, :rows, :cols]
 
 

@@ -160,6 +160,61 @@ def threshold_image(gray: np.ndarray, thresh: int = 150, low: int = 0, high: int
     return np.where(gray < thresh, low, high).astype(np.uint8)
 
 
+def read_tga(path: str) -> np.ndarray:
+    """Decode a TGA (the format the reference's CARLA map exports use,
+    map_engine/maps/convert.py:4) into (H, W) grayscale uint8.
+
+    Supports the types CARLA/PIL emit: uncompressed or RLE-compressed
+    grayscale (3/11) and BGR(A) (2/10), bottom-up or top-down origin."""
+    data = pathlib.Path(path).read_bytes()
+    idlen, cmap_type, img_type = data[0], data[1], data[2]
+    if cmap_type != 0:
+        raise ValueError("color-mapped TGA unsupported")
+    if img_type not in (2, 3, 10, 11):
+        raise ValueError(f"TGA image type {img_type} unsupported")
+    w, h = struct.unpack("<HH", data[12:16])
+    bpp = data[16] // 8
+    if bpp not in (1, 3, 4):
+        raise ValueError(f"{8 * bpp}-bit TGA unsupported")
+    top_down = bool(data[17] & 0x20)
+    pos = 18 + idlen
+    n = w * h
+    if img_type in (2, 3):  # uncompressed
+        px = np.frombuffer(data, np.uint8, n * bpp, pos).reshape(h, w, bpp)
+    else:  # RLE
+        out = np.empty((n, bpp), np.uint8)
+        i = 0
+        while i < n:
+            hdr = data[pos]
+            pos += 1
+            count = (hdr & 0x7F) + 1
+            if hdr & 0x80:  # run packet: one pixel repeated
+                out[i : i + count] = np.frombuffer(data, np.uint8, bpp, pos)
+                pos += bpp
+            else:  # raw packet
+                out[i : i + count] = np.frombuffer(
+                    data, np.uint8, count * bpp, pos
+                ).reshape(count, bpp)
+                pos += count * bpp
+            i += count
+        px = out.reshape(h, w, bpp)
+    if bpp == 1:
+        gray = px[..., 0]
+    else:  # TGA stores BGR(A); PIL's convert('L') weights are ITU-R 601
+        b, g, r = (px[..., k].astype(np.float64) for k in range(3))
+        gray = (0.299 * r + 0.587 * g + 0.114 * b).astype(np.uint8)
+    return gray if top_down else gray[::-1]
+
+
+def convert_tga_to_png(tga_path: str, png_path: str, threshold: int = 70) -> None:
+    """The reference's map conversion script, faithfully
+    (map_engine/maps/convert.py:1-19): grayscale, then pixels ABOVE the
+    threshold become 0 (black) and the rest 255 — note the inversion."""
+    gray = read_tga(tga_path)
+    out = np.where(gray > threshold, 0, 255).astype(np.uint8)
+    write_png(png_path, out)
+
+
 def occupancy_from_image(gray: np.ndarray, info: MapInfo) -> np.ndarray:
     """map_server interpretation: p = (255 - v)/255 (or v/255 when negate),
     p > occupied_thresh -> 100, p < free_thresh -> 0, else -1 (unknown)."""

@@ -10,16 +10,23 @@ into its pipeline phases:
   * solve_mega    — hybrid mega solve with per-scenario maps
   * cycle_total   — one full closed_loop_full_stack_batched cycle
 
+Every timing iteration uses a DISTINCT ego batch (scripts/_benchutil.py —
+the axon terminal dedups identical queued executions; same-input loops can
+read ~1000x optimistic).
+
 Usage: BENCH_FS_BATCH=4096 python scripts/profile_fullstack.py
 """
 
 import dataclasses
 import os
-import time
+import sys
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from _benchutil import timeit_varied
 
 from cilqr_tpu.models import solver_batched, uncertainty as unc_mod
 from cilqr_tpu.ops import costmap as costmap_mod
@@ -28,15 +35,9 @@ from cilqr_tpu.sim import plant
 from cilqr_tpu.sim.example_scenario import example_scenario
 from cilqr_tpu.utils.params import CostmapParams, NoiseParams, SolverParams
 
-
-def timeit(fn, *args, iters=10):
-    out = fn(*args)
-    jax.block_until_ready(out)
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn(*args)
-    jax.block_until_ready(out)
-    return (time.perf_counter() - t0) / iters
+N_TIMED = 4  # distinct variants per phase (plus warmup); the
+# per-variant full-map intermediates are ~0.8 GB each at B=4096 —
+# more variants exhaust HBM
 
 
 def main():
@@ -45,10 +46,16 @@ def main():
     cp = CostmapParams()
     plan, n, ego, U0, obstacles, unc = example_scenario(p, jnp.float32)
 
-    rng = np.random.default_rng(2)
     gmap = jnp.zeros((256, 256), jnp.float32)
     ggeom = gridmap.make_geom([110.0, -300.0], 0.5, 256, 256, dtype=jnp.float32)
-    x0s = jnp.asarray(np.asarray(ego)[None, :] + rng.normal(0, 0.3, (B, 4)), jnp.float32)
+
+    def ego_batch(k):
+        r = np.random.default_rng(k)
+        return jnp.asarray(
+            np.asarray(ego)[None, :] + r.normal(0, 0.3, (B, 4)), jnp.float32
+        )
+
+    egos_v = [ego_batch(k) for k in range(N_TIMED + 1)]
     U0s = jnp.broadcast_to(jnp.zeros((p.horizon, 2), jnp.float32), (B, p.horizon, 2))
 
     xr, yr = costmap_mod.corridor_center_bounds(cp, plan, n)
@@ -71,29 +78,36 @@ def main():
             )
         )
     )
-    t_pre = timeit(pre, x0s)
-    vehicle_map, bbox, corridor, geom = pre(x0s)
+    t_pre, _ = timeit_varied(pre, [(e,) for e in egos_v])
+    vehicle_map, bbox, corridor, geom = pre(egos_v[0])
 
-    # --- phase: Pallas prior resample ---
+    # --- phase: Pallas prior resample (per-variant geometries) ---
+    pre_outs = [pre(e) for e in egos_v]
     samp = jax.jit(
         lambda g, e: sample_pallas.sample_prior_batched_tpu(
             g, cp.rows, cp.cols, cp.resolution, 0.5, gmap, ggeom,
             e[:, :2], e[:, 3],
         )
     )
-    t_samp = timeit(samp, geom, x0s)
-    prior = samp(geom, x0s)
+    t_samp, _ = timeit_varied(
+        samp, [(o[3], e) for o, e in zip(pre_outs, egos_v)]
+    )
+    prior = samp(geom, egos_v[0])
     vm = jnp.where(bbox > 90.0, bbox, prior.astype(bbox.dtype))
 
-    # --- phase: banded propagation ---
+    # --- phase: banded propagation (per-variant frames) ---
     prop = jax.jit(
         lambda v, g, y: uncertainty_pallas.propagate_uncertainty_tpu_banded(
             cp, v, g, y, None, band
         )
     )
-    yaws = x0s[:, 3]
-    t_prop = timeit(prop, vm, geom, yaws)
-    umap_arr = prop(vm, geom, yaws)
+    prop_in = []
+    for o, e in zip(pre_outs, egos_v):
+        pr = samp(o[3], e)
+        vmx = jnp.where(o[1] > 90.0, o[1], pr.astype(o[1].dtype))
+        prop_in.append((vmx, o[3], e[:, 3]))
+    t_prop, _ = timeit_varied(prop, prop_in)
+    del prop_in, pre_outs  # free ~N_TIMED full-map variants before the next phase
 
     # --- phase: costmap total ---
     cmt = jax.jit(
@@ -103,8 +117,8 @@ def main():
             band_plan=band, global_res=0.5,
         )
     )
-    t_cm = timeit(cmt, x0s)
-    cms = cmt(x0s)
+    t_cm, _ = timeit_varied(cmt, [(e,) for e in egos_v])
+    cms = cmt(egos_v[0])
 
     # --- phase: hybrid mega solve with per-scenario maps ---
     umaps = unc_mod.UncertaintyMap(
@@ -116,7 +130,7 @@ def main():
             world_batched=True,
         )
     )
-    t_slv = timeit(slv, x0s, U0s)
+    t_slv, _ = timeit_varied(slv, [(e, U0s) for e in egos_v])
 
     # --- full cycle ---
     fs = jax.jit(
@@ -125,7 +139,9 @@ def main():
             obstacles=obstacles, band_plan=band, global_res=0.5,
         )
     )
-    t_cycle = timeit(fs, x0s, jax.random.key(0), iters=5)
+    t_cycle, _ = timeit_varied(
+        fs, [(e, jax.random.key(i)) for i, e in enumerate(egos_v)]
+    )
 
     print(f"B={B}")
     print(f"costmap_pre    {1e3 * t_pre:9.2f} ms")

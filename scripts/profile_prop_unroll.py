@@ -9,26 +9,20 @@ Usage: BENCH_FS_BATCH=4096 python scripts/profile_prop_unroll.py
 
 import dataclasses
 import os
-import time
+import sys
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from _benchutil import timeit_varied
 
 from cilqr_tpu.models import solver  # noqa: F401 (warm import path)
 from cilqr_tpu.ops import costmap as costmap_mod
 from cilqr_tpu.ops import gridmap, uncertainty_pallas
 from cilqr_tpu.sim.example_scenario import example_scenario
 from cilqr_tpu.utils.params import CostmapParams, SolverParams
-
-
-def timeit_varied(fn, variants, iters=9):
-    out = fn(*variants[0])
-    jax.block_until_ready(out)
-    t0 = time.perf_counter()
-    outs = [fn(*variants[1 + i % (len(variants) - 1)]) for i in range(iters)]
-    jax.block_until_ready(outs)
-    return (time.perf_counter() - t0) / iters, out
 
 
 def main():
@@ -58,7 +52,7 @@ def main():
         yaws = jnp.asarray(r.uniform(-3, 3, B), jnp.float32)
         return priors, geoms, yaws
 
-    variants = [variant(k) for k in range(4)]
+    variants = [variant(k) for k in range(9)]  # 1 warm + 8 distinct timed
 
     ref = None
     for unroll in (False, True):

@@ -95,6 +95,59 @@ def test_threshold_matches_convert_py():
     np.testing.assert_array_equal(out, [[0, 0, 0], [254, 254, 254]])
 
 
+def _write_tga(path, gray, rle=False, top_down=False, bgr=False):
+    """Minimal TGA writer for the decoder tests (grayscale or BGR)."""
+    import struct as _st
+
+    h, w = gray.shape
+    bpp = 3 if bgr else 1
+    img_type = (10 if bgr else 11) if rle else (2 if bgr else 3)
+    desc = 0x20 if top_down else 0
+    hdr = bytes([0, 0, img_type]) + b"\x00" * 9 + _st.pack(
+        "<HH", w, h
+    ) + bytes([8 * bpp, desc])
+    rows = gray if top_down else gray[::-1]
+    px = rows.reshape(-1)
+    if bgr:
+        px = np.repeat(px, 3)  # gray BGR: B=G=R
+    body = b""
+    if rle:
+        # one raw packet per row (max 128 px per packet)
+        flat = px.reshape(h, w * bpp)
+        for r in range(h):
+            row = flat[r]
+            for c0 in range(0, w, 128):
+                n = min(128, w - c0)
+                body += bytes([n - 1]) + row[c0 * bpp : (c0 + n) * bpp].tobytes()
+    else:
+        body = px.tobytes()
+    path.write_bytes(hdr + body)
+
+
+def test_tga_decode_variants(tmp_path):
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 255, (19, 260), dtype=np.uint8)  # >128-px rows
+    for rle in (False, True):
+        for top_down in (False, True):
+            p = tmp_path / f"t_{rle}_{top_down}.tga"
+            _write_tga(p, img, rle=rle, top_down=top_down)
+            np.testing.assert_array_equal(maps.read_tga(str(p)), img)
+    # BGR path: gray replicated over channels must survive the 601 mix
+    p = tmp_path / "t_bgr.tga"
+    _write_tga(p, img, bgr=True)
+    np.testing.assert_allclose(maps.read_tga(str(p)), img, atol=1)
+
+
+def test_convert_tga_to_png_matches_reference_script(tmp_path):
+    """convert.py:7-17: pixels ABOVE threshold 70 -> 0, others -> 255."""
+    img = np.array([[0, 70, 71], [100, 200, 255]], np.uint8)
+    tga = tmp_path / "m.tga"
+    _write_tga(tga, img)
+    maps.convert_tga_to_png(str(tga), str(tmp_path / "m.png"))
+    out = maps.read_png(str(tmp_path / "m.png"))
+    np.testing.assert_array_equal(out, [[255, 255, 0], [0, 0, 0]])
+
+
 # -------------------------------------------------------------- conversions
 def test_occupancy_grid_roundtrip():
     rng = np.random.default_rng(33)
