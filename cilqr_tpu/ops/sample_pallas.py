@@ -19,15 +19,18 @@ ratio.  Per (scenario, tile) grid step the kernel:
   2. takes their scalar minima -> window origin (row0 aligned down to the
      sublane multiple, col0 free — the column window is aligned by a
      dynamic LANE ROLL, which Mosaic lowers natively);
-  3. dynamic-slices a static (WR, Wpad) row window of the VMEM-resident
-     global map, rolls it left by col0, keeps the first 128 lanes;
-  4. gathers: for each window row r, one lane-granularity
-     ``take_along_axis`` + select where the local row index == r.
+  3. dynamic-slices a static (WR+8, Wpad) row window of the VMEM-resident
+     global map (8 extra top rows keep the group offsets non-negative),
+     rolls it left by col0, keeps the first 128 lanes;
+  4. gathers by 8-row groups: for each static offset o, one
+     ``take_along_axis`` on the natural (8, 128) tile ``wslice[o:o+8]``
+     yields win[o+s, lc] at sublane s — correct exactly where the local
+     row index equals o + s; a select accumulates it.
 
-Cost per 1024 outputs is ~3*WR vector ops (WR = 56 at the reference's
-0.2 m vehicle / 0.5 m global resolutions) vs ~12 us for the XLA gather:
-~20x.  Falls back to the XLA path for maps that don't fit VMEM or
-resolution ratios whose window can't cover a 128-lane tile (see
+Cost per 1024 outputs is ~(WR+1) gather+select pairs (WR = 56 at the
+reference's 0.2 m vehicle / 0.5 m global resolutions) vs ~12 us for the
+XLA gather: ~15-20x.  Falls back to the XLA path for maps that don't fit
+VMEM or resolution ratios whose window can't cover a 128-lane tile (see
 ``supports``).
 """
 
@@ -102,22 +105,31 @@ def _tile_body(t, rows: int, cols: int, res_v: float, H: int, W: int,
     ii = jnp.clip(jnp.floor((top_x - gx) / res_g), 0.0, H - 1.0).astype(jnp.int32)
     jj = jnp.clip(jnp.floor((top_y - gy) / res_g), 0.0, W - 1.0).astype(jnp.int32)
 
-    # static-size source window at a dynamic (aligned) origin
+    # static-size source window at a dynamic (aligned) origin, extended by
+    # _TS extra top rows so the group-gather offsets below stay >= 0 (the
+    # map block carries _TS edge-padded rows at its top; row0 may go to
+    # -_TS and the physical slice start row0 + _TS stays in range)
+    WR8 = WR + _TS
+    Hp = -(-H // _TS) * _TS
     row0 = pl.multiple_of(
-        jnp.clip((jnp.min(ii) // _TS) * _TS, 0, -(-H // _TS) * _TS - WR), _TS
+        jnp.clip((jnp.min(ii) // _TS) * _TS - _TS, -_TS, Hp - WR8), _TS
     )
     col0 = jnp.min(jj)
-    win = map_ref[pl.ds(row0, WR), :]
+    win = map_ref[pl.ds(row0 + _TS, WR8), :]
     rolled = pltpu.roll(win, Wpad - col0, axis=1)
     wslice = rolled[:, :_TL]
 
-    lr = ii - row0
+    lr = ii - row0   # >= _TS by construction, <= WR8 - 1
     lc = jj - col0
+    # group gather: for each static row offset o, take_along_axis on the
+    # natural (_TS, _TL) tile wslice[o:o+_TS] yields win[o+s, lc[s,l]] at
+    # sublane s — the correct value exactly where lr == o + s.  One gather
+    # per offset instead of one sublane-broadcast + gather per window row.
+    s_iota = jax.lax.broadcasted_iota(jnp.int32, (_TS, _TL), 0)
     v = jnp.zeros((_TS, _TL), f32)
-    for r in range(WR):
-        rowv = jnp.broadcast_to(wslice[r : r + 1, :], (_TS, _TL))
-        g = jnp.take_along_axis(rowv, lc, axis=1)
-        v = jnp.where(lr == r, g, v)
+    for o in range(WR8 - _TS + 1):
+        g = jnp.take_along_axis(wslice[o : o + _TS, :], lc, axis=1)
+        v = jnp.where(lr == o + s_iota, g, v)
     if whole_map:  # per-scenario whole-map block (1, T*_TS, _TL); t static
         out_ref[0, t * _TS : (t + 1) * _TS, :] = v
     else:          # one (1, _TS, _TL) tile block; t = program_id
@@ -153,9 +165,11 @@ def _sample(rows: int, cols: int, res_v: float, WR: int, global_map, gscl,
     Hp = -(-H // _TS) * _TS
     Wp = -(-W // _TL) * _TL
     # edge-pad: padded cells are never addressed (indices clamp to the real
-    # extent and the roll is modulo Wp with offsets < the real window)
+    # extent and the roll is modulo Wp with offsets < the real window); the
+    # _TS top rows let the window origin sit one sublane group above row 0
+    # (see _tile_body's group gather)
     mpad = jnp.pad(global_map.astype(jnp.float32),
-                   ((0, Hp - H), (0, Wp - W)), mode="edge")
+                   ((_TS, Hp - H), (0, Wp - W)), mode="edge")
     B = firsts.shape[0]
     T = -(-rows // _TS)
     scl = jnp.concatenate([firsts, egos_cs], axis=1).astype(jnp.float32)

@@ -10,6 +10,7 @@ Usage: BENCH_FS_BATCH=4096 python scripts/profile_prop_unroll.py
 import dataclasses
 import os
 import sys
+import time
 
 import jax
 import jax.numpy as jnp

@@ -5,6 +5,7 @@ Usage: BENCH_FS_BATCH=4096 python scripts/profile_sample_fused.py
 
 import os
 import sys
+import time
 
 import jax
 import jax.numpy as jnp
