@@ -367,7 +367,14 @@ def plan_step(
 
     dv = jnp.diff(Xb[:, 2]) / p.timestep
     dyaw_dt = jnp.diff(jnp.unwrap(Xb[:, 3])) / p.timestep
+    # Clamp the emitted finite-difference controls to the plant's actuation
+    # bounds (Model.cpp:19-20 semantics: acc box + state-dependent yaw-rate
+    # bound v*tan(steer_max)/L at each step's speed).  The plant clamps
+    # anyway, but the *recorded* U must never claim infeasible actuation.
+    from cilqr_tpu.models import dynamics as _dyn
+
     U = jnp.stack([dv, dyaw_dt], axis=-1)                  # (N, 2)
+    U = _dyn.clamp_control(p, Xb[:-1], U)
 
     return FrenetResult(
         X=Xb,

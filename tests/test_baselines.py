@@ -205,6 +205,28 @@ def test_frenet_infeasible_fallback_emergency_brake(lane_setup):
     assert float(res.U[0, 0]) <= p.acc_min + 1e-6
 
 
+def test_frenet_emitted_controls_feasible(lane_setup):
+    """The recorded U never claims infeasible actuation: acc within the box,
+    yaw-rate within the state-dependent bound v*tan(steer_max)/L evaluated
+    at each step's speed (Model.cpp:19-20 semantics)."""
+    p, plan, n = lane_setup
+    ob = obs_mod.make_static_obstacles(
+        p, [[112.0, -306.74]], [[4.8, 2.0]], [0.0], dtype=jnp.float64)
+    # aggressive initial condition: fast, offset and misaligned -> the raw
+    # finite-difference controls of the winning swerve exceed the bounds
+    ego = jnp.asarray([100.0, -304.0, 8.0, -0.5])
+    for obstacles in (None, ob):
+        res = jax.jit(
+            lambda e: frenet.plan_step(p, frenet.FrenetParams(), plan, n, e, obstacles)
+        )(ego)
+        U = np.asarray(res.U)
+        X = np.asarray(res.X)
+        assert (U[:, 0] >= p.acc_min - 1e-9).all()
+        assert (U[:, 0] <= p.acc_max + 1e-9).all()
+        bound = X[:-1, 2] * np.tan(p.steer_angle_max) / p.wheelbase
+        assert (np.abs(U[:, 1]) <= bound + 1e-9).all()
+
+
 def test_frenet_expansion_requires_sigmas(lane_setup):
     p, plan, n = lane_setup
     ob = obs_mod.make_static_obstacles(p, [[115.0, -306.0]], [[4.8, 2.0]], [0.0],
