@@ -23,8 +23,17 @@ from cilqr_tpu.models import (
 from cilqr_tpu.ops import lm_pallas, riccati_pallas
 
 
-def _setup(params, global_plan, B, horizon=10, max_iterations=6, seed=61):
-    p = dataclasses.replace(params, horizon=horizon, max_iterations=max_iterations)
+def _setup(params, global_plan, B, horizon=8, max_iterations=4, seed=61):
+    # NOTE on sizes: interpret-mode Pallas cost is almost entirely
+    # trace+compile (a cached re-call is ~0.3 s), dominated by the statically
+    # unrolled closest-point sample table (S = num_of_local_wpts *
+    # closest_point_samples_per_wpt).  S=40 keeps the chunked min-tree
+    # structure while cutting per-test compile ~3x; the production S=200
+    # config is exercised on real TPU by scripts/drive_e2e.py and bench.py.
+    p = dataclasses.replace(
+        params, horizon=horizon, max_iterations=max_iterations,
+        num_of_local_wpts=8, closest_point_samples_per_wpt=5,
+    )
     plan, n = rp.pad_global_plan(p, global_plan, dtype=jnp.float32)
     rng = np.random.default_rng(seed)
     egos = jnp.asarray(
@@ -127,8 +136,8 @@ def test_inkernel_loop_matches_per_iteration_form(params, global_plan):
     iteration form with XLA accept/reject bookkeeping: identical iteration
     counts and trajectories (same update order by construction)."""
     B = riccati_pallas.TILE
-    p, plan, n, egos, U0 = _setup(params, global_plan, B, horizon=6,
-                                  max_iterations=4, seed=23)
+    p, plan, n, egos, U0 = _setup(params, global_plan, B, horizon=4,
+                                  max_iterations=3, seed=23)
     plans = jax.vmap(lambda e: rp.get_local_plan(p, plan, n, e))(egos)
     a = lm_pallas.fused_optimize(p, plans, egos, U0, inkernel_loop=True)
     b = lm_pallas.fused_optimize(p, plans, egos, U0, inkernel_loop=False)
@@ -142,8 +151,8 @@ def test_inkernel_loop_matches_per_iteration_form(params, global_plan):
 def test_mega_arbitrary_batch_padding(params, global_plan):
     """Non-tile batch sizes pad internally and slice back."""
     B = 100
-    p, plan, n, egos, U0 = _setup(params, global_plan, B, horizon=6,
-                                  max_iterations=3, seed=11)
+    p, plan, n, egos, U0 = _setup(params, global_plan, B, horizon=4,
+                                  max_iterations=2, seed=11)
     res = solver_batched.run_steps_batched(p, plan, n, egos, U0, impl="mega")
     assert res.U.shape == (B, p.horizon, 2)
     assert np.isfinite(np.asarray(res.U)).all()

@@ -46,7 +46,8 @@ def test_solver_handles_two_point_plan(params):
 
 
 def test_closed_loop_batched(params, global_plan):
-    p = dataclasses.replace(params, horizon=8, max_iterations=3)
+    p = dataclasses.replace(params, horizon=8, max_iterations=3,
+                            num_of_local_wpts=8, closest_point_samples_per_wpt=5)
     B = riccati_pallas.TILE
     plan, n = rp.pad_global_plan(p, global_plan, dtype=jnp.float32)
     rng = np.random.default_rng(81)

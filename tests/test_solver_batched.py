@@ -12,7 +12,10 @@ from cilqr_tpu.ops import riccati_pallas
 
 
 def test_batched_solver_matches_vmap_path(params, global_plan):
-    p = dataclasses.replace(params, horizon=10, max_iterations=6)
+    # sized for compile time: interpret-mode cost is trace+compile of the
+    # unrolled iteration loop, not execution (see test_lm_pallas._setup)
+    p = dataclasses.replace(params, horizon=8, max_iterations=4,
+                            num_of_local_wpts=8, closest_point_samples_per_wpt=5)
     B = riccati_pallas.TILE
     plan, n = rp.pad_global_plan(p, global_plan, dtype=jnp.float32)
     rng = np.random.default_rng(61)
@@ -49,7 +52,8 @@ def test_world_batched_obstacles_fall_back_to_two_phase(params, global_plan):
 
     from cilqr_tpu.models import obstacles as obs_mod, uncertainty as unc_mod
 
-    p = dataclasses.replace(params, horizon=5, max_iterations=2)
+    p = dataclasses.replace(params, horizon=5, max_iterations=2,
+                            num_of_local_wpts=8, closest_point_samples_per_wpt=5)
     plan, n = rp.pad_global_plan(p, global_plan, dtype=jnp.float64)
     B = 4
     rng = np.random.default_rng(9)
