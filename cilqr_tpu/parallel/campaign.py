@@ -102,11 +102,15 @@ def run_campaign(
     for r in range(start_round, n_rounds):
         k_r = jax.random.fold_in(key, r)
         samples = mc.sample_scenarios(k_r, batch, base_ego, dtype=dtype)
+        # multi-process safe: each host contributes its own slice of the
+        # (identically sampled) global batch — see multihost.put_global
+        from cilqr_tpu.parallel import multihost
+
         res, metrics = mc_fn(
             prior, geom, jnp.asarray(origin_xy, dtype), jnp.asarray(origin_yaw, dtype),
             plan_xy, plan_n,
-            jax.device_put(samples.sigmas, sharding),
-            jax.device_put(samples.egos, sharding),
+            multihost.put_global(sharding, samples.sigmas),
+            multihost.put_global(sharding, samples.egos),
         )
         jax.block_until_ready(metrics)
 
@@ -122,7 +126,10 @@ def run_campaign(
 
         if log is not None:
             # one record per round: the round's metric row (X/U payload
-            # slots carry the local-shard summary, not raw trajectories)
+            # slots carry the local-shard summary, not raw trajectories).
+            # The logged batch is this process's SHARE of the global batch
+            # (metrics are already psum-global and identical on every host)
+            # so merge_analysis across shards counts each solve exactly once.
             log.append(
                 start_time=float(r),
                 start_pos=np.asarray(samples.egos[0]),
@@ -131,7 +138,7 @@ def run_campaign(
                     [[float(metrics.mean_J), float(metrics.max_J),
                       float(metrics.mean_iterations), float(metrics.converged_frac)]]
                 ),
-                U=np.asarray([[float(B), float(r)]]),
+                U=np.asarray([[float(B // jax.process_count()), float(r)]]),
             )
             log.flush()
 

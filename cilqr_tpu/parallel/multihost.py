@@ -73,6 +73,29 @@ def scatter_local(mesh: Mesh, local_batch: np.ndarray) -> jax.Array:
     return jax.make_array_from_process_local_data(sharding, np.asarray(local_batch))
 
 
+def put_global(sharding: NamedSharding, global_array: np.ndarray) -> jax.Array:
+    """Place a host-replicated global array onto a (possibly multi-process)
+    batch sharding.
+
+    Single-process: plain ``device_put``.  Multi-process: every process holds
+    the identical global array (deterministic sampling from a shared key), so
+    each contributes its own contiguous leading-axis block — no DCN payload
+    moves, exactly like ``scatter_local`` but sliced from replicated host
+    data.  The 1-D scenario mesh orders devices process-major, so process
+    ``p`` owns rows ``[p*b, (p+1)*b)``.
+    """
+    if jax.process_count() == 1:
+        return jax.device_put(global_array, sharding)
+    arr = np.asarray(global_array)
+    n = jax.process_count()
+    if arr.shape[0] % n:
+        raise ValueError(
+            f"global batch {arr.shape[0]} not divisible by process count {n}")
+    b = arr.shape[0] // n
+    lo = jax.process_index() * b
+    return jax.make_array_from_process_local_data(sharding, arr[lo:lo + b])
+
+
 def gather_metrics(metrics) -> dict:
     """Fully-replicated metric pytree -> host floats (identical on every
     process; safe to log from process 0 only)."""

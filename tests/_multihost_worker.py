@@ -1,0 +1,136 @@
+"""Subprocess worker for tests/test_multihost.py — REAL multi-process
+``jax.distributed`` bring-up on CPU.
+
+This is the code path the virtual 8-device mesh never touches
+(``parallel/multihost.py``: ``initialize`` -> ``global_mesh`` ->
+``scatter_local``/``put_global``), the TPU-pod analog of the reference's
+5-process ROS graph (SURVEY.md §2.5 P1).  Each worker:
+
+  1. brings up ``jax.distributed`` (2 processes x 2 virtual CPU devices
+     = a 4-device global mesh, gloo collectives),
+  2. contributes its local half of a global scenario batch via
+     ``scatter_local``, runs the sharded solve + psum metric reduction,
+     dumps its addressable result shards + the replicated metrics,
+  3. runs a 2-round checkpointed Monte-Carlo campaign (both processes in
+     lockstep, per-process explog shards).
+
+argv: process_id num_processes port out_dir
+
+All scenario inputs are deterministic so the parent test can reproduce the
+single-process ground truth in-process and assert equality.
+"""
+
+import json
+import pathlib
+import sys
+
+
+def make_params():
+    """Small deterministic solver/costmap config (lazy imports: the worker
+    must set env vars before the first jax import)."""
+    import dataclasses
+
+    from cilqr_tpu.utils.params import CostmapParams, SolverParams
+
+    p = dataclasses.replace(
+        SolverParams(), horizon=8, max_iterations=3,
+        max_global_plan_points=128, num_of_local_wpts=8,
+    )
+    cp = dataclasses.replace(CostmapParams(), rows=16, cols=16, window_radius=4)
+    return p, cp
+
+
+def make_inputs(p, dtype):
+    """Deterministic plan + B=8 ego batch + warm-start controls (numpy)."""
+    import numpy as np
+
+    from cilqr_tpu.models import reference_path as rp, solver
+
+    s = np.linspace(0.0, 60.0, 61)
+    plan_np = np.stack([90.0 + s, -306.0 + 0.02 * s], axis=1)
+    plan, n = rp.pad_global_plan(p, plan_np, dtype=dtype)
+    base = np.array([100.0, -305.8, 4.0, 0.02])
+    rng = np.random.default_rng(11)
+    egos = (base[None, :] + rng.normal(0, 0.3, (8, 4))).astype(np.float64)
+    U0 = np.broadcast_to(
+        np.asarray(solver.initial_controls(p, dtype=dtype)), (8, p.horizon, 2)
+    ).copy()
+    return plan, n, egos, U0
+
+
+def main():
+    pid, nproc, port, out_dir = (
+        int(sys.argv[1]), int(sys.argv[2]), sys.argv[3], sys.argv[4])
+    import os
+
+    # before the FIRST jax import: CPU platform, 2 virtual devices/process
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    os.environ["XLA_FLAGS"] = (
+        os.environ.get("XLA_FLAGS", "")
+        + " --xla_force_host_platform_device_count=2"
+    ).strip()
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    # the axon plugin may have latched a different platform at import time
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_enable_x64", True)
+
+    from cilqr_tpu.parallel import batch as pbatch, campaign, multihost
+
+    multihost.initialize(
+        coordinator_address=f"127.0.0.1:{port}",
+        num_processes=nproc, process_id=pid,
+    )
+    assert jax.process_count() == nproc, jax.process_count()
+    assert jax.local_device_count() == 2
+    mesh = multihost.global_mesh()
+    assert mesh.devices.size == 2 * nproc
+
+    out = pathlib.Path(out_dir)
+    p, cp = make_params()
+    plan, n, egos, U0 = make_inputs(p, jnp.float64)
+
+    # ---- sharded solve: each process contributes its local half ----
+    B = egos.shape[0]
+    b = B // nproc
+    lo = pid * b
+    egos_sh = multihost.scatter_local(mesh, egos[lo:lo + b])
+    U_sh = multihost.scatter_local(mesh, U0[lo:lo + b])
+    assert egos_sh.shape == (B, 4)  # global view, local storage
+
+    fn, _ = pbatch.make_sharded_solver(p, mesh)
+    res, metrics = fn(plan, n, egos_sh, U_sh)
+    md = multihost.gather_metrics(metrics)
+
+    shards = sorted(res.J.addressable_shards, key=lambda s: s.index[0].start)
+    J_local = np.concatenate([np.asarray(s.data) for s in shards])
+    U_shards = sorted(res.U.addressable_shards, key=lambda s: s.index[0].start)
+    U_local = np.concatenate([np.asarray(s.data) for s in U_shards])
+    np.savez(out / f"solve_{pid}.npz", J=J_local, U=U_local, lo=lo)
+    (out / f"solve_{pid}.json").write_text(json.dumps(md))
+
+    # ---- 2-round checkpointed campaign across both processes ----
+    prior = jnp.asarray(
+        np.random.default_rng(2).uniform(0, 100, (cp.rows, cp.cols)),
+        jnp.float32,
+    )
+    from cilqr_tpu.ops import gridmap
+
+    geom = gridmap.make_geom(
+        [5.0, 0.0], cp.resolution, cp.rows, cp.cols, dtype=jnp.float32)
+    plan32, n32 = plan.astype(jnp.float32), n
+    ego = np.array([100.0, -305.8, 4.0, 0.02], np.float32)
+    summary = campaign.run_campaign(
+        p, cp, mesh, prior, geom, ego[:2], ego[3], plan32, n32, ego,
+        n_rounds=2, batch=16, out_dir=str(out / "campaign"), seed=7,
+        resume=False,
+    )
+    (out / f"campaign_{pid}.json").write_text(json.dumps(summary))
+    print(f"worker {pid} OK", flush=True)
+
+
+if __name__ == "__main__":
+    main()
