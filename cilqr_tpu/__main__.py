@@ -195,6 +195,29 @@ def _cmd_compare(args) -> int:
     return 0
 
 
+def _cmd_sweep(args) -> int:
+    """Sigma-sweep campaign on the gauntlet scenario: the measured proof
+    that the uncertainty term changes outcomes (sim/sweep.py)."""
+    from cilqr_tpu.sim import sweep as sweep_mod
+    from cilqr_tpu.utils.params import SolverParams
+
+    p = dataclasses.replace(
+        SolverParams(), horizon=args.horizon, w_uncertainty=args.w_uncertainty)
+    rows = sweep_mod.run_sigma_sweep(
+        [float(s) for s in args.sigmas.split(",")],
+        algorithms=tuple(args.algorithms.split(",")),
+        p=p, n_runs=args.runs, n_cycles=args.cycles, seed=args.seed,
+        sigma_theta_ratio=args.sigma_theta_ratio,
+        use_pallas=not args.no_pallas,
+    )
+    out_dir = pathlib.Path(args.out)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    (out_dir / "sweep.json").write_text(json.dumps(rows, indent=2))
+    (out_dir / "sweep.md").write_text(sweep_mod.format_table(rows) + "\n")
+    print(sweep_mod.format_table(rows))
+    return 0
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(prog="cilqr_tpu")
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -256,6 +279,29 @@ def main(argv=None) -> int:
                    help="rebuild the uncertainty costmap every cycle from a "
                         "synthetic Town02-style prior (map_engine pipeline)")
     c.set_defaults(fn=_cmd_compare)
+
+    s = sub.add_parser(
+        "sweep",
+        help="sigma-sweep campaign on the gauntlet scenario (uncertainty "
+             "term ablation: cilqr vs cilqr_base, frenet ablations)")
+    s.add_argument("--sigmas", default="0.0,0.2,0.35,0.5",
+                   help="comma-separated sigma_xy grid [m]")
+    s.add_argument(
+        "--algorithms",
+        default="cilqr,cilqr_base,frenet_origin,frenet_propagation")
+    s.add_argument("--runs", type=int, default=10)
+    s.add_argument("--cycles", type=int, default=160)
+    s.add_argument("--horizon", type=int, default=40)
+    s.add_argument("--seed", type=int, default=0)
+    s.add_argument("--w-uncertainty", type=float, default=5.0,
+                   help="w_uncertainty for the aware planner (the launch-"
+                        "file rosparam knob, Experiment.launch:11)")
+    s.add_argument("--sigma-theta-ratio", type=float, default=0.2,
+                   help="sigma_theta = ratio * sigma_xy")
+    s.add_argument("--no-pallas", action="store_true",
+                   help="XLA reference propagation (CPU-friendly)")
+    s.add_argument("--out", default="/tmp/cilqr_sweep")
+    s.set_defaults(fn=_cmd_sweep)
 
     args = ap.parse_args(argv)
     return args.fn(args)

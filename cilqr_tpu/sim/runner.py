@@ -28,9 +28,23 @@ from cilqr_tpu.utils.params import NoiseParams, SolverParams
 
 
 def build_scenario_inputs(p: SolverParams, scenario: scenarios.Scenario, dtype=jnp.float32):
-    """Obstacles pytree + raw (M,3) pose array for a named scenario."""
+    """Planner ellipse obstacles + SAT/costmap pose arrays for a scenario.
+
+    Returns ``(ob, obs_xyyaw, obs_size, obs_mask)``.  ``ob`` is the
+    ellipse-barrier pytree the planner consumes and covers the scenario's
+    *vehicle* obstacles only.  The pose arrays additionally carry the
+    scenario's SAT-only walls (Scenario.walls_xyyaw): they feed the SAT
+    collision ground truth and the costmap bbox rasterization, but never
+    the planner's ellipse channel — the information asymmetry of the
+    CILQR vs CILQR_Base ablation.
+    """
     xyyaw = scenario.obstacles_xyyaw
     M = xyyaw.shape[0]
+    W = scenario.n_walls
+    if M + W > p.max_obstacles:
+        raise ValueError(
+            f"scenario {scenario.name!r} needs {M + W} obstacle slots, "
+            f"max_obstacles={p.max_obstacles}")
     ob = obs_mod.make_static_obstacles(
         p,
         xyyaw[:, :2],
@@ -38,11 +52,19 @@ def build_scenario_inputs(p: SolverParams, scenario: scenarios.Scenario, dtype=j
         xyyaw[:, 2],
         dtype=dtype,
     )
-    # pad poses to max_obstacles to line up with ob.mask (padding far away)
-    pad = np.full((p.max_obstacles - M, 3), 1e6)
-    obs_xyyaw = jnp.asarray(np.concatenate([xyyaw, pad], axis=0), dtype)
-    obs_size = jnp.asarray(scenario.obstacle_size, dtype)
-    return ob, obs_xyyaw, obs_size, ob.mask
+    # SAT/costmap set: vehicles + walls, padded to max_obstacles (far away)
+    sat_xyyaw = np.concatenate([xyyaw, scenario.walls_xyyaw], axis=0)
+    sat_sizes = np.concatenate(
+        [np.tile(np.asarray(scenario.obstacle_size), (M, 1)),
+         np.tile(np.asarray(scenario.wall_size), (W, 1))], axis=0)
+    pad = p.max_obstacles - M - W
+    obs_xyyaw = jnp.asarray(
+        np.concatenate([sat_xyyaw, np.full((pad, 3), 1e6)], axis=0), dtype)
+    obs_size = jnp.asarray(
+        np.concatenate([sat_sizes, np.ones((pad, 2))], axis=0), dtype)
+    obs_mask = jnp.asarray(
+        np.concatenate([np.ones(M + W), np.zeros(pad)]), dtype)
+    return ob, obs_xyyaw, obs_size, obs_mask
 
 
 #: The algorithm axis of the reference's comparison pipeline

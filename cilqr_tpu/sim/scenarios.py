@@ -80,21 +80,86 @@ _STARTS: Dict[str, Tuple[float, float, float, float]] = {
 }
 
 
+def _no_walls() -> np.ndarray:
+    return np.zeros((0, 3), dtype=np.float64)
+
+
 @dataclasses.dataclass(frozen=True)
 class Scenario:
+    """Obstacle table + optional SAT-only walls.
+
+    ``walls_xyyaw`` are physical barriers the *planner's ellipse-barrier
+    channel never sees*: they enter the SAT collision ground truth and the
+    costmap bbox rasterization (like CARLA scenery hit by the collision
+    sensor, vehiclepub/scripts/main.py:65-75), so only costmap-consuming
+    algorithm variants (`cilqr`, `frenet_propagation`) can perceive them.
+    This is the information asymmetry the reference's CILQR vs CILQR_Base
+    ablation measures (batch_dataprocess.py:459-475): the uncertainty map
+    is the base planner's ONLY missing sensor.
+    """
+
     name: str
     obstacles_xyyaw: np.ndarray  # (M, 3)
     obstacle_size: Tuple[float, float] = (OBSTACLE_LENGTH, OBSTACLE_WIDTH)
     start: Tuple[float, float, float, float] = (70.0, -306.74, 4.0, 0.0)
+    walls_xyyaw: np.ndarray = dataclasses.field(default_factory=_no_walls)
+    wall_size: Tuple[float, float] = (90.0, 0.4)
 
     @property
     def n_obstacles(self) -> int:
         return self.obstacles_xyyaw.shape[0]
 
+    @property
+    def n_walls(self) -> int:
+        return self.walls_xyyaw.shape[0]
+
+
+def make_gauntlet(
+    wall_faces=(-2.1, 5.0),
+    offsets=(3.3, 3.3),
+    xs=(100.0, 125.0),
+    y_center: float = -306.74,
+    x_span=(65.0, 155.0),
+    wall_thickness: float = 2.0,
+) -> Scenario:
+    """The sigma-sweep scenario: squeeze past parked cars along a wall the
+    base planner cannot see.
+
+    An asymmetric corridor — the lane runs ``|wall_faces[0]|`` from the
+    lower wall's inner face — with cars parked on the wide side, forcing
+    the ego to squeeze between each car's ellipse barrier and the near
+    wall.  The walls are SAT+costmap-only (see Scenario docstring): the
+    uncertainty-aware planner perceives the near wall through the
+    propagated costmap (smear reach grows with chi * sigma, i.e. with the
+    localization noise), the blind baseline dodges the cars straight into
+    it.  The dodge direction is unambiguous (the wide-side gap between car
+    and far wall is narrower than the ego), so outcome differences isolate
+    the uncertainty term rather than side-commitment luck.
+    """
+    cars = np.asarray(
+        [(x, y_center + off, 0.0) for x, off in zip(xs, offsets)], np.float64
+    )
+    x_mid = 0.5 * (x_span[0] + x_span[1])
+    walls = np.asarray(
+        [(x_mid, y_center + wall_faces[0] - wall_thickness / 2.0, 0.0),
+         (x_mid, y_center + wall_faces[1] + wall_thickness / 2.0, 0.0)],
+        np.float64,
+    )
+    return Scenario(
+        "gauntlet",
+        cars,
+        start=(70.0, y_center, 4.0, 0.0),
+        walls_xyyaw=walls,
+        wall_size=(x_span[1] - x_span[0], wall_thickness),
+    )
+
 
 def get_scenario(name: str) -> Scenario:
+    if name == "gauntlet":
+        return make_gauntlet()
     if name not in _SCENARIOS:
-        raise KeyError(f"unknown scenario {name!r}; have {sorted(_SCENARIOS)}")
+        raise KeyError(
+            f"unknown scenario {name!r}; have {sorted(_SCENARIOS) + ['gauntlet']}")
     return Scenario(
         name,
         np.asarray(_SCENARIOS[name], dtype=np.float64),
@@ -111,7 +176,7 @@ def plan_for(name: str, spacing: float = 1.0) -> np.ndarray:
 
 
 def scenario_names() -> List[str]:
-    return sorted(_SCENARIOS)
+    return sorted(_SCENARIOS) + ["gauntlet"]
 
 
 def straight_lane_plan(x0=60.0, y=-306.74, length=150.0, spacing=1.0) -> np.ndarray:

@@ -70,8 +70,10 @@ def test_noise_injection_statistics(params):
 # ---------------------------------------------------------------- scenarios
 def test_scenario_tables():
     assert scenarios.scenario_names() == [
-        "compare", "long", "success1", "success2", "success3",
+        "compare", "long", "success1", "success2", "success3", "gauntlet",
     ]
+    g = scenarios.get_scenario("gauntlet")
+    assert g.n_walls == 2 and g.n_obstacles == 2
     s = scenarios.get_scenario("long")
     assert s.n_obstacles == 9
     assert s.obstacle_size == (3.63, 1.84)
