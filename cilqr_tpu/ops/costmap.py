@@ -38,7 +38,15 @@ from cilqr_tpu.utils.params import CostmapParams
 
 
 class LocalCostmap(NamedTuple):
-    """Multi-layer vehicle-frame costmap (layers of local_costmap.cpp:125-132)."""
+    """Multi-layer vehicle-frame costmap (layers of local_costmap.cpp:125-132).
+
+    The reference declares six layers; ``lidar_grid_map`` is dead upstream
+    (every write commented out, local_costmap.cpp:221-225,254-256) and has no
+    analog here.  ``semantic_lidar_map`` (the KF-tracked perception box,
+    :328-394) and ``ellipse_map`` (declared "for visual uncertainty ellipse",
+    :130, writes commented at :622) are populated on demand and ``None``
+    otherwise so the batched hot path carries no dead weight.
+    """
 
     vehicle_map: jax.Array       # (rows, cols) prior + obstacle occupancy
     bounding_box_map: jax.Array  # (rows, cols) rasterized obstacle OBBs
@@ -47,6 +55,8 @@ class LocalCostmap(NamedTuple):
     geom: gridmap.GridGeom       # vehicle-frame geometry (center, res, length)
     origin_xy: jax.Array         # (2,) ego global position (map origin)
     origin_yaw: jax.Array        # () ego global yaw
+    semantic_lidar_map: Optional[jax.Array] = None  # (rows, cols) tracked bbox
+    ellipse_map: Optional[jax.Array] = None         # (rows, cols) ego 95% ellipse
 
 
 def _path_headings(waypoints: jax.Array, idx: jax.Array, n_valid,
@@ -485,14 +495,49 @@ def build_local_costmap(
     obs_yaw: jax.Array,
     obs_mask: jax.Array,
     use_pallas: bool = False,
+    tracked_box: Optional[jax.Array] = None,
+    tracked_valid: Optional[jax.Array] = None,
+    with_ellipse_layer: bool = False,
 ) -> LocalCostmap:
-    """Full costmap tick (odomCallback, local_costmap.cpp:172-310)."""
+    """Full costmap tick (odomCallback, local_costmap.cpp:172-310).
+
+    ``tracked_box``/``tracked_valid``: the KF-smoothed perception box from
+    ``models.tracker.step`` (fed by ``sim.perception.bbox_measurement``).
+    When given, it is rasterized into the ``semantic_lidar_map`` layer
+    (bboxCallback, local_costmap.cpp:358-371) and overrides the vehicle map
+    where > 90 — the override the reference declares but leaves commented
+    out (:257-259); it is enabled here whenever the perception channel is
+    active, since a tracked box that never reaches the planner-consumed
+    layers would be dead weight.  ``with_ellipse_layer`` additionally fills
+    the viz-only ``ellipse_map`` with the ego-pose 95% confidence ellipse
+    footprint (the live realization of the layer declared at :130).
+    """
     ego_xy = ego_state[:2]
     ego_yaw = ego_state[3]
     vehicle_map, bbox, corridor, geom = _costmap_pre(
         cp, global_map, global_geom, waypoints, n_wpts, ego_state,
         obs_xy, obs_size, obs_yaw, obs_mask,
     )
+
+    semantic = None
+    if tracked_box is not None:
+        semantic = rasterize_tracked_bbox(
+            geom, cp.rows, cp.cols, tracked_box, tracked_valid
+        )
+        vehicle_map = jnp.where(semantic > 90.0, semantic, vehicle_map)
+
+    ellipse = None
+    if with_ellipse_layer:
+        s_x = jnp.asarray(cp.sigma_x, vehicle_map.dtype)
+        s_y = jnp.asarray(cp.sigma_y, vehicle_map.dtype)
+        # ego sits at vehicle-frame (0, 0): zero lever arm, cov = diag(sx², sy²)
+        cov = jnp.diag(jnp.stack([s_x * s_x, s_y * s_y]))
+        hm, hmin, ang = gridmap.confidence_ellipse(cov, cp.chisquare_val)
+        ellipse = 100.0 * gridmap.ellipse_mask(
+            geom, cp.rows, cp.cols, jnp.zeros(2, vehicle_map.dtype),
+            jnp.stack([jnp.maximum(hm, cp.resolution), jnp.maximum(hmin, cp.resolution)]),
+            ang,
+        ).astype(vehicle_map.dtype)
 
     if use_pallas:
         from cilqr_tpu.ops import uncertainty_pallas
@@ -501,7 +546,8 @@ def build_local_costmap(
     else:
         unc = propagate_uncertainty_reference(cp, vehicle_map, geom, ego_yaw)
 
-    return LocalCostmap(vehicle_map, bbox, unc, corridor, geom, ego_xy, ego_yaw)
+    return LocalCostmap(vehicle_map, bbox, unc, corridor, geom, ego_xy, ego_yaw,
+                        semantic_lidar_map=semantic, ellipse_map=ellipse)
 
 
 def build_local_costmap_batched(

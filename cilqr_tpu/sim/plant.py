@@ -158,6 +158,7 @@ def closed_loop_full_stack(
     obs_mask: Optional[jax.Array] = None,
     use_pallas: bool = False,
     plan_step=None,
+    percept=None,
 ):
     """The complete two-node pipeline in one scan: every cycle rebuilds the
     local uncertainty costmap from the global prior (the map_engine node,
@@ -171,9 +172,20 @@ def closed_loop_full_stack(
     ``plan_step(noisy_state, U_warm, umap) -> SolveResult-like`` swaps in a
     different planner receiving the per-cycle uncertainty map; default is
     the CILQR solver.
+
+    ``percept`` (``sim.perception.PerceptionSim``) activates the perception
+    channel: obstacle ``percept.obs_index`` moves at ``percept.vel`` and is
+    REMOVED from the bounding-box rasterization — each cycle the camera sim
+    produces a noisy cell-space bbox of its true pose
+    (``perception.bbox_measurement``), the constant-velocity KF smooths it
+    (``models.tracker.step``, the costmap node's filter at
+    local_costmap.cpp:139-159,352-380), and the *tracked* box is rasterized
+    into ``semantic_lidar_map`` and overrides the vehicle map the
+    propagation consumes.  SAT collision ground truth still uses the true
+    moving pose.
     """
     from cilqr_tpu.models import uncertainty as unc_mod
-    from cilqr_tpu.ops import costmap as costmap_mod
+    from cilqr_tpu.ops import costmap as costmap_mod, gridmap
 
     dtype = x0.dtype
     U0 = solver.initial_controls(p, dtype=dtype)
@@ -188,12 +200,51 @@ def closed_loop_full_stack(
         sizes = jnp.ones((1, 2), dtype)
         obs_mask = jnp.zeros((1,), dtype)
 
-    def cycle(carry, key_t):
-        state, U_warm = carry
+    if percept is not None:
+        from cilqr_tpu.models import tracker
+        from cilqr_tpu.sim import perception
+
+        pi = percept.obs_index
+        if not (0 <= pi < M):
+            raise ValueError(f"percept.obs_index={pi} out of range for {M} obstacles")
+        # camera-only channel: no bbox rasterization of the perceived obstacle
+        raster_mask = obs_mask.at[pi].set(0.0)
+        kf0 = tracker.init(dtype=dtype)
+
+    def cycle(carry, inp):
+        key_t, t = inp
+        if percept is None:
+            state, U_warm = carry
+            obs_now = obs_xyyaw
+            tracked_box = tracked_valid = None
+            cm_raster_mask = obs_mask
+        else:
+            state, U_warm, kf = carry
+            shift = (t.astype(dtype) * p.timestep) * percept.vel
+            obs_now = obs_xyyaw.at[pi, :2].add(shift)
+            cm_raster_mask = raster_mask
+            # the camera measures in the tick's vehicle-frame grid
+            center, _, _ = costmap_mod.corridor_geometry(
+                cp, plan_xy, plan_n, state[:2], state[3])
+            geom_t = gridmap.GridGeom(
+                center.astype(dtype),
+                jnp.asarray(cp.resolution, dtype),
+                jnp.asarray([cp.rows * cp.resolution, cp.cols * cp.resolution], dtype),
+            )
+            key_t, k_cam = jax.random.split(key_t)
+            z, z_valid = perception.bbox_measurement(
+                cp, geom_t, state[:2], state[3],
+                obs_now[pi, :2], sizes[pi], obs_now[pi, 2],
+                key=k_cam, sigma=percept.bbox_sigma,
+            )
+            kf, tracked_box = tracker.step(kf, z, z_valid)
+            tracked_valid = z_valid
+
         cm = costmap_mod.build_local_costmap(
             cp, global_map, global_geom, plan_xy, plan_n, state,
-            obs_xyyaw[:, :2], sizes, obs_xyyaw[:, 2], obs_mask,
+            obs_now[:, :2], sizes, obs_now[:, 2], cm_raster_mask,
             use_pallas=use_pallas,
+            tracked_box=tracked_box, tracked_valid=tracked_valid,
         )
         umap = unc_mod.UncertaintyMap(
             cm.uncertainty_map, cm.geom, cm.origin_xy, cm.origin_yaw
@@ -201,24 +252,34 @@ def closed_loop_full_stack(
         noisy = inject_noise(noise, key_t, state)
         res = plan_step(noisy, U_warm, umap)
         if M:
-            hit = check_collisions(p, state, obs_xyyaw, obs_size, obs_mask)
+            hit = check_collisions(p, state, obs_now, obs_size, obs_mask)
         else:
             hit = jnp.asarray(False)
         nxt = dynamics.step(p, state, res.U[0])
-        rec = (state, noisy, res.J, res.iterations, hit,
-               jnp.max(cm.uncertainty_map))
-        return (nxt, res.U), rec
+        rec = {
+            "start_pos": state,
+            "noisy_pos": noisy,
+            "J": res.J,
+            "iterations": res.iterations,
+            "collided": hit,
+            "uncertainty_max": jnp.max(cm.uncertainty_map),
+        }
+        if percept is None:
+            return (nxt, res.U), rec
+        rec.update(
+            tracked_box=tracked_box,
+            bbox_meas=z,
+            bbox_valid=z_valid,
+            semantic_max=jnp.max(cm.semantic_lidar_map),
+            obs_pos=obs_now[pi, :2],
+        )
+        return (nxt, res.U, kf), rec
 
     keys = jax.random.split(key, n_cycles)
-    (xf, _), (sp, npos, J, iters, hit, umax) = jax.lax.scan(cycle, (x0, U0), keys)
-    return xf, {
-        "start_pos": sp,
-        "noisy_pos": npos,
-        "J": J,
-        "iterations": iters,
-        "collided": hit,
-        "uncertainty_max": umax,
-    }
+    ts = jnp.arange(n_cycles)
+    carry0 = (x0, U0) if percept is None else (x0, U0, kf0)
+    (xf, *_), recs = jax.lax.scan(cycle, carry0, (keys, ts))
+    return xf, recs
 
 
 def closed_loop_batched(
