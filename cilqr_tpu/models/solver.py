@@ -80,7 +80,14 @@ def backward_from_derivs(p: SolverParams, d, X: jax.Array, U: jax.Array, lamb: j
 
     Runs under HIGHEST matmul precision: the 4x4/2x4 contractions are tiny,
     but under vmap they batch onto the MXU whose default bf16 operand
-    truncation costs ~3 significant digits in the gains."""
+    truncation costs ~3 significant digits in the gains.
+
+    ``p.backward_impl='pscan'`` swaps in the O(log N)-depth associative-scan
+    pass (ops/riccati_pscan.py) for the B=1 latency case."""
+    if p.backward_impl == "pscan":
+        from cilqr_tpu.ops import riccati_pscan
+
+        return riccati_pscan.backward_pscan(p, d, X, U, lamb)
     with jax.default_matmul_precision("highest"):
         return _backward_from_derivs(p, d, X, U, lamb)
 

@@ -109,6 +109,11 @@ class SolverParams:
     # on v5e at B=1024 — kept for experimentation; the real fast path is the
     # fused Pallas backward kernel in ops/riccati_pallas.py)
     scan_unroll: int = 1
+    # Backward-pass implementation: "seq" = reference-faithful sequential
+    # recursion (iLQR.cpp:133-191); "pscan" = O(log N)-depth associative-scan
+    # Riccati for the B=1 latency-serving case (ops/riccati_pscan.py —
+    # textbook damped value propagation, documented divergence there)
+    backward_impl: str = "seq"
 
     @property
     def n_closest_samples(self) -> int:
