@@ -295,6 +295,74 @@ def make_synthetic_town(
     return str(yaml)
 
 
+def make_synthetic_site(
+    out_dir: str,
+    name: str = "site",
+    size_m: float = 120.0,
+    resolution: float = 0.2,
+    origin=(0.0, -60.0),
+    corridor_width: float = 7.0,
+    legs=None,
+):
+    """Generate an h301-class real-site occupancy map (PNG + YAML).
+
+    The reference's second map is a scanned real site (``map_engine/maps/
+    h301.yaml`` + ``convert.py``-thresholded image) whose corridors are NOT
+    axis-aligned — the geometry class the rectangular synthetic town never
+    exercises (every rotated-gather/propagation path then runs at yaw ~ 0).
+    This generates the same class synthetically: diagonal corridor segments
+    carved out of occupied space at arbitrary angles.
+
+    ``legs``: [((x0, y0), (x1, y1)), ...] centerline segments in map
+    coordinates; default is a dog-leg run at ~25 deg then ~-35 deg.  Returns
+    (yaml_path, centerline (K, 2) ndarray) — the centerline doubles as the
+    global plan for driving the site.
+    """
+    if legs is None:
+        a = np.deg2rad(25.0)
+        b = np.deg2rad(-35.0)
+        p0 = np.array([10.0, -45.0])
+        p1 = p0 + 55.0 * np.array([np.cos(a), np.sin(a)])
+        p2 = p1 + 45.0 * np.array([np.cos(b), np.sin(b)])
+        legs = [(tuple(p0), tuple(p1)), (tuple(p1), tuple(p2))]
+
+    n = int(round(size_m / resolution))
+    ox, oy = origin
+    # pixel-center coordinates (image row 0 = top scanline = max y)
+    xs = ox + (np.arange(n) + 0.5) * resolution          # cols
+    ys = oy + (n - 0.5 - np.arange(n)) * resolution      # rows
+    X = xs[None, :]
+    Y = ys[:, None]
+
+    free = np.zeros((n, n), bool)
+    for (x0, y0), (x1, y1) in legs:
+        dx, dy = x1 - x0, y1 - y0
+        L2 = dx * dx + dy * dy
+        t = np.clip(((X - x0) * dx + (Y - y0) * dy) / L2, 0.0, 1.0)
+        d2 = (X - (x0 + t * dx)) ** 2 + (Y - (y0 + t * dy)) ** 2
+        free |= d2 <= (corridor_width / 2.0) ** 2
+    img = np.where(free, 254, 0).astype(np.uint8)
+
+    out = pathlib.Path(out_dir)
+    out.mkdir(parents=True, exist_ok=True)
+    png = out / f"{name}.png"
+    write_png(str(png), img)
+    yaml = out / f"{name}.yaml"
+    yaml.write_text(
+        f"image: {name}.png\nresolution: {resolution}\n"
+        f"origin: [{ox}, {oy}, 0.0]\nnegate: 0\n"
+        "occupied_thresh: 0.65\nfree_thresh: 0.196\n"
+    )
+    pts = []
+    for (x0, y0), (x1, y1) in legs:
+        seg_len = float(np.hypot(x1 - x0, y1 - y0))
+        k = max(2, int(seg_len))  # ~1 m spacing
+        t = np.linspace(0.0, 1.0, k, endpoint=False)
+        pts.append(np.stack([x0 + t * (x1 - x0), y0 + t * (y1 - y0)], axis=1))
+    pts.append(np.asarray([legs[-1][1]]))
+    return str(yaml), np.concatenate(pts, axis=0)
+
+
 def to_gridmap_array(occ: np.ndarray, info: MapInfo, unknown_value: float = 0.0):
     """Reorient a map_server occupancy image into (data, center) for
     ``gridmap.make_geom``: grid_map axis 0 = +x (image cols, reversed),
