@@ -260,7 +260,7 @@ def main(argv=None) -> int:
     c.add_argument("--scenarios", default="success1,success2,success3,compare")
     c.add_argument(
         "--algorithms",
-        default="cilqr,cilqr_base,ccnmpc,frenet_origin,frenet_expansion,frenet_propagation",
+        default="cilqr,cilqr_base,ccnmpc,frenet_origin,frenet_expansion,frenet_propagation,nrb_rrt",
         help="comma-separated subset of sim.runner.ALGORITHMS",
     )
     c.add_argument("--runs", type=int, default=10)

@@ -68,8 +68,8 @@ def build_scenario_inputs(p: SolverParams, scenario: scenarios.Scenario, dtype=j
 
 
 #: The algorithm axis of the reference's comparison pipeline
-#: (batch_dataprocess.py:459-463: CCNMPC / CILQR / CILQR_Base / Frenet) plus
-#: the Frenet uncertainty ablations (Frenet/readme.md:1-15).
+#: (batch_dataprocess.py:458-463: CCNMPC / CILQR / CILQR_Base / Frenet /
+#: NRB-RRT) plus the Frenet uncertainty ablations (Frenet/readme.md:1-15).
 ALGORITHMS = (
     "cilqr",                # uncertainty-aware CILQR (the paper's method)
     "cilqr_base",           # CILQR without the uncertainty-map term
@@ -77,6 +77,7 @@ ALGORITHMS = (
     "frenet_origin",        # Frenet lattice, uncertainty ignored
     "frenet_expansion",     # Frenet lattice, chi-sigma inflated obstacles
     "frenet_propagation",   # Frenet lattice, propagated uncertainty costmap
+    "nrb_rrt",              # risk-bounded kinodynamic RRT (DR chance bound)
 )
 
 
@@ -113,6 +114,13 @@ def make_plan_step(
         cc = cc_params if cc_params is not None else ccnmpc.CCParams()
         return lambda e, u, umap=None: ccnmpc.run_step(
             p, cc, noise, plan, n, e, u, obstacles)
+    if algorithm == "nrb_rrt":
+        from cilqr_tpu.models import nrb_rrt
+
+        nrbp = nrb_rrt.NRBParams()
+        sig = jnp.asarray([noise.sigma_x, noise.sigma_y, noise.sigma_theta])
+        return lambda e, u, umap=None: nrb_rrt.plan_step(
+            p, nrbp, plan, n, e, obstacles, sigmas=sig)
     if algorithm.startswith("frenet"):
         from cilqr_tpu.models import frenet
 
