@@ -564,8 +564,15 @@ def build_local_costmap_batched(
     use_pallas: bool = True,
     band_plan=None,
     global_res: Optional[float] = None,
+    tracked_boxes: Optional[jax.Array] = None,
+    tracked_valid: Optional[jax.Array] = None,
 ) -> LocalCostmap:
     """Per-scenario costmap ticks for a (B, 4) ego batch, one shared world.
+
+    ``tracked_boxes`` (B, 4) / ``tracked_valid`` (B,): per-scenario
+    KF-smoothed perception boxes — rasterized into a batched
+    ``semantic_lidar_map`` layer and overriding the vehicle map exactly as
+    in the single-scenario tick (see ``build_local_costmap``).
 
     The pre-propagation stage (corridor geometry, rasterization, prior
     sampling) is vmapped XLA; the uncertainty propagation runs the batched
@@ -607,6 +614,13 @@ def build_local_costmap_batched(
         )
         vehicle_map = jnp.where(bbox > 90.0, bbox, prior.astype(bbox.dtype))
 
+    semantic = None
+    if tracked_boxes is not None:
+        semantic = jax.vmap(
+            lambda g, bx, v: rasterize_tracked_bbox(g, cp.rows, cp.cols, bx, v)
+        )(geom, tracked_boxes, tracked_valid)
+        vehicle_map = jnp.where(semantic > 90.0, semantic, vehicle_map)
+
     if use_pallas:
         from cilqr_tpu.ops import uncertainty_pallas
 
@@ -635,5 +649,6 @@ def build_local_costmap_batched(
         )(vehicle_map, geom, yaws)
 
     return LocalCostmap(
-        vehicle_map, bbox, unc, corridor, geom, ego_states[:, :2], yaws
+        vehicle_map, bbox, unc, corridor, geom, ego_states[:, :2], yaws,
+        semantic_lidar_map=semantic,
     )

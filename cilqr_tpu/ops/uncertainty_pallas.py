@@ -150,8 +150,14 @@ def _finish(num, den, psd, prior):
 
 def _kernel(R: int, res: float, chi2: float, rows: int, cols: int,
             prior_pad_ref, sx_ref, sy_ref, rho_ref, psd_ref, prior_ref, out_ref):
+    # static row unroll under the same ceiling as the banded kernels: under
+    # vmap the refs become rank-3, where Mosaic cannot lower a *dynamic*
+    # sublane (dim 1) slice start — every offset must be a compile-time
+    # address (the dynamic fori_loop only lowers for rank-2 refs)
+    unroll = (2 * R + 1) ** 2 <= _UNROLL_MAX_OFFSETS
     num, den = _accumulate(R, res, chi2, rows, cols, prior_pad_ref,
-                           sx_ref[:], sy_ref[:], rho_ref[:])
+                           sx_ref[:], sy_ref[:], rho_ref[:],
+                           unroll_rows=unroll)
     out_ref[:] = _finish(num, den, psd_ref[:], prior_ref[:])
 
 
@@ -179,6 +185,10 @@ def _propagate(cp: CostmapParams, prior, xs, ys, faithful_rho: bool, interpret: 
             bytes_accessed=4 * rows * cols * 7,
             transcendentals=(2 * R + 1) ** 2 * rows * cols,
         ),
+        # the statically-unrolled accumulation keeps many live slices; the
+        # default 16 MB scoped-vmem arena overflows under vmap (v5e has
+        # 128 MB of VMEM — give the spill arena room)
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=96 * 1024 * 1024),
         interpret=interpret,
     )(prior_pad, sx.astype(jnp.float32), sy.astype(jnp.float32), rho, psd, prior32)
     return out.astype(prior.dtype)

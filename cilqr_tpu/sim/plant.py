@@ -358,12 +358,18 @@ def closed_loop_full_stack_batched(
     obs_mask: Optional[jax.Array] = None,
     band_plan=None,
     global_res: Optional[float] = None,
+    percept=None,
 ):
     """The COMPLETE reference pipeline, batched: every plan->act cycle,
     every scenario rebuilds its own vehicle-frame uncertainty costmap from
     the shared global prior (batched Pallas propagation, per-scenario
     frames) and replans through the hybrid mega solver (per-scenario maps
     sampled by XLA each LM iteration).
+
+    ``percept`` activates the per-scenario camera -> KF ->
+    ``semantic_lidar_map`` channel exactly as in ``closed_loop_full_stack``
+    (every scenario runs its own tracker; the perceived obstacle is
+    camera-only).
 
     Same information flow as ``closed_loop_full_stack`` per scenario
     (costmap at the true pose, solver at the noisy pose); B must make the
@@ -388,12 +394,52 @@ def closed_loop_full_stack_batched(
         sizes = jnp.ones((1, 2), dtype)
         obs_mask = jnp.zeros((1,), dtype)
 
-    def cycle(carry, key_t):
-        states, U_warm = carry
+    if percept is not None:
+        from cilqr_tpu.models import tracker
+        from cilqr_tpu.sim import perception
+        from cilqr_tpu.ops import gridmap
+
+        pi = percept.obs_index
+        if not (0 <= pi < M):
+            raise ValueError(f"percept.obs_index={pi} out of range for {M} obstacles")
+        raster_mask = obs_mask.at[pi].set(0.0)
+        kf0 = jax.vmap(lambda _: tracker.init(dtype=dtype))(jnp.arange(B))
+
+    def cycle(carry, inp):
+        key_t, t = inp
+        if percept is None:
+            states, U_warm = carry
+            obs_now = obs_xyyaw
+            boxes = valid = None
+            cm_raster_mask = obs_mask
+        else:
+            states, U_warm, kf = carry
+            shift = (t.astype(dtype) * p.timestep) * percept.vel
+            obs_now = obs_xyyaw.at[pi, :2].add(shift)
+            cm_raster_mask = raster_mask
+
+            def measure(s, k):
+                center, _, _ = costmap_mod.corridor_geometry(
+                    cp, plan_xy, plan_n, s[:2], s[3])
+                g = gridmap.GridGeom(
+                    center.astype(dtype),
+                    jnp.asarray(cp.resolution, dtype),
+                    jnp.asarray(
+                        [cp.rows * cp.resolution, cp.cols * cp.resolution], dtype),
+                )
+                return perception.bbox_measurement(
+                    cp, g, s[:2], s[3], obs_now[pi, :2], sizes[pi],
+                    obs_now[pi, 2], key=k, sigma=percept.bbox_sigma)
+
+            k_cams = jax.random.split(jax.random.fold_in(key_t, 7), B)
+            zs, valid = jax.vmap(measure)(states, k_cams)
+            kf, boxes = jax.vmap(tracker.step)(kf, zs, valid)
+
         cms = costmap_mod.build_local_costmap_batched(
             cp, global_map, global_geom, plan_xy, plan_n, states,
-            obs_xyyaw[:, :2], sizes, obs_xyyaw[:, 2], obs_mask,
+            obs_now[:, :2], sizes, obs_now[:, 2], cm_raster_mask,
             band_plan=band_plan, global_res=global_res,
+            tracked_boxes=boxes, tracked_valid=valid,
         )
         umaps = unc_mod.UncertaintyMap(
             cms.uncertainty_map, cms.geom, cms.origin_xy, cms.origin_yaw
@@ -406,24 +452,31 @@ def closed_loop_full_stack_batched(
         )
         if M:
             hits = jax.vmap(
-                lambda s: check_collisions(p, s, obs_xyyaw, obs_size, obs_mask)
+                lambda s: check_collisions(p, s, obs_now, obs_size, obs_mask)
             )(states)
         else:
             hits = jnp.zeros((B,), bool)
         nxt = dynamics.step(p, states, res.U[:, 0].astype(dtype))
-        rec = (states, noisy, res.J, res.iterations, hits,
-               jnp.max(cms.uncertainty_map, axis=(1, 2)))
+        rec = {
+            "start_pos": states,
+            "noisy_pos": noisy,
+            "J": res.J,
+            "iterations": res.iterations,
+            "collided": hits,
+            "uncertainty_max": jnp.max(cms.uncertainty_map, axis=(1, 2)),
+        }
         # the mega path solves in f32; keep the warm-start carry in the
         # caller's dtype so the scan carry is type-stable
-        return (nxt.astype(dtype), res.U.astype(dtype)), rec
+        if percept is None:
+            return (nxt.astype(dtype), res.U.astype(dtype)), rec
+        rec.update(
+            tracked_box=boxes,
+            bbox_valid=valid,
+            semantic_max=jnp.max(cms.semantic_lidar_map, axis=(1, 2)),
+        )
+        return (nxt.astype(dtype), res.U.astype(dtype), kf), rec
 
     keys = jax.random.split(key, n_cycles)
-    (xf, _), (sp, npos, J, iters, hit, umax) = jax.lax.scan(cycle, (x0s, U0), keys)
-    return xf, {
-        "start_pos": sp,
-        "noisy_pos": npos,
-        "J": J,
-        "iterations": iters,
-        "collided": hit,
-        "uncertainty_max": umax,
-    }
+    carry0 = (x0s, U0) if percept is None else (x0s, U0, kf0)
+    (xf, *_), recs = jax.lax.scan(cycle, carry0, (keys, jnp.arange(n_cycles)))
+    return xf, recs

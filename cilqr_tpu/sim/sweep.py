@@ -113,11 +113,20 @@ def run_sigma_sweep(
         noise = NoiseParams(s_xy, s_xy, s_th)
         cps = matched_costmap_params(cp, s_xy, s_th)
         for algo in algorithms:
+            # Only the uncertainty-consuming variants run the per-cycle
+            # map_engine pipeline; the blind ablations discard the costmap
+            # BY DEFINITION (the CILQR_Base / Frenet-origin nodes never
+            # subscribe to it), so skipping the build is faithful and the
+            # noise draws stay identical — closed_loop and
+            # closed_loop_full_stack split the same per-cycle keys.
+            consumes_map = algo in ("cilqr", "frenet_propagation")
             out, run_rows = runner.run_experiment_batch(
                 p, noise, plan, x0, n_cycles, sc,
                 n_runs=n_runs, seed=seed, dtype=dtype, algorithm=algo,
-                costmap_params=cps, global_map=global_map,
-                global_geom=global_geom, use_pallas=use_pallas,
+                costmap_params=cps if consumes_map else None,
+                global_map=global_map if consumes_map else None,
+                global_geom=global_geom if consumes_map else None,
+                use_pallas=use_pallas,
             )
             rec = out["record"]
             get = rec.__getitem__ if isinstance(rec, dict) else lambda k: getattr(rec, k)

@@ -57,7 +57,32 @@ def main(n_iters=32):
         t_seq, _ = timeit_varied(seq, [(x,) for x in ds])
         t_ps, _ = timeit_varied(ps, [(x,) for x in ds])
         print(f"N={N} backward-only: seq {1e3 * t_seq:.3f} ms  "
-              f"pscan {1e3 * t_ps:.3f} ms  speedup {t_seq / t_ps:.2f}x")
+              f"pscan {1e3 * t_ps:.3f} ms  speedup {t_seq / t_ps:.2f}x  "
+              "(dispatch-bound wall)")
+
+        # device time: 64 dependent backward applications inside ONE jit —
+        # dispatch/tunnel overhead amortizes away, each iteration's input
+        # depends on the previous output so nothing can be CSE'd or deduped.
+        # N=50 only: each chained program costs minutes of (remote) compile
+        if N != 50:
+            continue
+        REP = 64
+
+        def chain(back):
+            def f(dd):
+                def body(i, acc):
+                    dd_i = jax.tree.map(
+                        lambda a: a + 1e-12 * acc[0].sum() + 1e-12 * i, dd)
+                    return back(p, dd_i, X0, U0, lam)
+                return jax.lax.fori_loop(0, REP, body, back(p, dd, X0, U0, lam))
+            return jax.jit(f)
+
+        c_seq = chain(solver.backward_from_derivs)
+        c_ps = chain(riccati_pscan.backward_pscan)
+        t_seq, _ = timeit_varied(c_seq, [(x,) for x in ds[:9]])
+        t_ps, _ = timeit_varied(c_ps, [(x,) for x in ds[:9]])
+        print(f"N={N} backward device: seq {1e6 * t_seq / REP:.1f} us  "
+              f"pscan {1e6 * t_ps / REP:.1f} us  speedup {t_seq / t_ps:.2f}x")
 
         # ---- full single solve ----
         f_seq = jax.jit(lambda e: solver.run_step(p, plan_xy, n, e, U0, ob, None))

@@ -179,6 +179,55 @@ def test_closed_loop_invalid_camera_coasts(global_plan):
     assert np.isfinite(np.asarray(xf)).all()
 
 
+def test_batched_percept_matches_vmapped_single(global_plan):
+    """closed_loop_full_stack_batched(percept=...) == vmap of the
+    per-scenario perception loop (zero noise, noiseless camera)."""
+    p, cp, _, gm, ggeom = _setup()
+    import dataclasses as _dc
+    p = _dc.replace(p, horizon=8, max_iterations=3)
+    noise = NoiseParams(0.0, 0.0, 0.0)
+    from cilqr_tpu.models import reference_path as rp
+
+    plan, n = rp.pad_global_plan(p, global_plan, dtype=jnp.float64)
+    obs_xyyaw = jnp.asarray([[103.0, -305.5, 0.05]], jnp.float64)
+    obs_size = jnp.asarray([[4.5, 2.0]], jnp.float64)
+    obs_mask = jnp.ones((1,), jnp.float64)
+    percept = perception.PerceptionSim(
+        0, jnp.asarray([0.5, 0.0], jnp.float64), bbox_sigma=0.0)
+
+    B, n_cycles = 3, 3
+    rng = np.random.default_rng(4)
+    x0s = jnp.asarray(
+        np.array([100.0, -305.6, 4.0, 0.05])[None, :] + rng.normal(0, 0.2, (B, 4)))
+    gm64 = jnp.asarray(gm, jnp.float64)
+
+    xf_b, rec_b = plant.closed_loop_full_stack_batched(
+        p, cp, noise, gm64, ggeom, plan, n, x0s, jax.random.key(6), n_cycles,
+        obstacles=None, obs_xyyaw=obs_xyyaw, obs_size=obs_size,
+        obs_mask=obs_mask, percept=percept)
+    xf_s, rec_s = jax.vmap(
+        lambda x0, k: plant.closed_loop_full_stack(
+            p, cp, noise, gm64, ggeom, plan, n, x0, k, n_cycles,
+            obstacles=None, obs_xyyaw=obs_xyyaw, obs_size=obs_size,
+            obs_mask=obs_mask, percept=percept)
+    )(x0s, jax.random.split(jax.random.key(6), B))
+
+    # batched records are (T, B, ...), single-path (B, T, ...)
+    np.testing.assert_allclose(np.asarray(xf_b), np.asarray(xf_s),
+                               rtol=1e-3, atol=5e-3)
+    np.testing.assert_allclose(
+        np.asarray(rec_b["tracked_box"]),
+        np.moveaxis(np.asarray(rec_s["tracked_box"]), 0, 1),
+        rtol=1e-5, atol=1e-4)
+    np.testing.assert_array_equal(
+        np.asarray(rec_b["bbox_valid"]),
+        np.asarray(rec_s["bbox_valid"]).T)
+    np.testing.assert_array_equal(
+        np.asarray(rec_b["semantic_max"]),
+        np.asarray(rec_s["semantic_max"]).T)
+    assert (np.asarray(rec_b["semantic_max"]) == 100.0).all()
+
+
 def test_local_costmap_carries_layers(global_plan):
     """build_local_costmap populates semantic_lidar_map and ellipse_map."""
     p, cp, noise, gm, ggeom = _setup()

@@ -29,8 +29,10 @@ def _problem(p, ego, global_plan, with_obstacles=True):
     return plan, X, U, d, ob, plan_xy, n
 
 
-@pytest.mark.parametrize("lamb", [1.0, 10.0, 1e-4])
-@pytest.mark.parametrize("N", [13, 40, 50])
+# two horizons x two damping decades lock the algebra; the combine is
+# N/lambda-independent so a denser grid only re-pays compile time
+@pytest.mark.parametrize("lamb", [1.0, 1e-4])
+@pytest.mark.parametrize("N", [13, 50])
 def test_pscan_matches_sequential_standard(ego_state, global_plan, N, lamb):
     """The associative algebra is exact: pscan == sequential oracle of the
     same textbook damped recursion, any lambda, machine precision."""
@@ -46,7 +48,7 @@ def test_pscan_matches_sequential_standard(ego_state, global_plan, N, lamb):
 def test_pscan_approaches_reference_at_small_lambda(ego_state, global_plan):
     """lambda -> 0 is the regime where the reference's M Q_uu M sandwich
     equals the textbook M~ propagation: gains must converge."""
-    p = dataclasses.replace(SolverParams(), horizon=40)
+    p = dataclasses.replace(SolverParams(), horizon=20)
     _, X, U, d, *_ = _problem(p, ego_state, global_plan)
     for lamb, tol in ((1e-3, 2e-2), (1e-6, 1e-4)):
         lam = jnp.asarray(lamb, jnp.float64)
