@@ -24,12 +24,40 @@ import sys
 import numpy as np
 
 
+def _load_global_map(path_or_none, out_dir=None, dtype=None):
+    """Global prior map for the per-cycle map_engine pipeline.
+
+    ``path_or_none``: a map_server YAML (Town02.yaml / h301.yaml semantics —
+    utils/maps.load_map parses image/resolution/origin/negate/thresholds);
+    None synthesizes a Town02-style map.  Returns (global_map, global_geom).
+    """
+    import jax.numpy as jnp
+
+    from cilqr_tpu.ops import gridmap
+    from cilqr_tpu.utils import maps
+
+    if dtype is None:
+        dtype = jnp.float32
+    if path_or_none is None:
+        import tempfile
+
+        base = str(out_dir) if out_dir is not None else tempfile.mkdtemp(
+            prefix="cilqr_town_")
+        path_or_none = maps.make_synthetic_town(base)
+    occ, info = maps.load_map(path_or_none)
+    arr, center = maps.to_gridmap_array(occ, info, unknown_value=100.0)
+    gm = jnp.asarray(arr, dtype)
+    gg = gridmap.make_geom(
+        center, info.resolution, arr.shape[0], arr.shape[1], dtype=dtype)
+    return gm, gg
+
+
 def _cmd_run(args) -> int:
     import jax.numpy as jnp
 
     from cilqr_tpu.sim import runner, scenarios
     from cilqr_tpu.utils import explog, metrics, viz
-    from cilqr_tpu.utils.params import NoiseParams, SolverParams
+    from cilqr_tpu.utils.params import CostmapParams, NoiseParams, SolverParams
 
     p = dataclasses.replace(
         SolverParams(),
@@ -50,9 +78,16 @@ def _cmd_run(args) -> int:
     out_dir.mkdir(parents=True, exist_ok=True)
     log = explog.ExperimentLog(out_dir / "experiment.log", "w")
 
+    cm_kwargs = {}
+    if args.map is not None or args.full_stack:
+        gm, gg = _load_global_map(args.map, out_dir=out_dir / "town")
+        cm_kwargs = {
+            "costmap_params": CostmapParams(), "global_map": gm,
+            "global_geom": gg, "use_pallas": True,
+        }
     rec = runner.run_experiment(
         p, noise, plan, x0, args.cycles, scenario=sc, seed=args.seed, log=log,
-        algorithm=args.algorithm,
+        algorithm=args.algorithm, **cm_kwargs,
     )
     log.close()
 
@@ -137,26 +172,20 @@ def _cmd_compare(args) -> int:
     out_dir.mkdir(parents=True, exist_ok=True)
 
     cm_kwargs = {}
-    if args.full_stack:
-        # per-cycle uncertainty costmaps from a synthetic Town02-style
-        # prior map — the complete map_engine + planner pipeline; without
-        # it the uncertainty-consuming algorithm variants degrade to their
-        # base algorithms (no costmap to consume).
-        import jax.numpy as jnp
-
-        from cilqr_tpu.ops import gridmap
-        from cilqr_tpu.utils import maps
+    if args.full_stack or args.map is not None:
+        # per-cycle uncertainty costmaps from the global prior — the
+        # complete map_engine + planner pipeline; without it the
+        # uncertainty-consuming algorithm variants degrade to their base
+        # algorithms (no costmap to consume).  ``--map`` points at real
+        # map_server YAML (Town02/h301 data verbatim); default synthesizes
+        # the Town02-style map.
         from cilqr_tpu.utils.params import CostmapParams
 
-        yaml = maps.make_synthetic_town(str(out_dir / "town"))
-        occ, info = maps.load_map(yaml)
-        arr, center = maps.to_gridmap_array(occ, info, unknown_value=100.0)
+        gm, gg = _load_global_map(args.map, out_dir=out_dir / "town")
         cm_kwargs = {
             "costmap_params": CostmapParams(),
-            "global_map": jnp.asarray(arr, jnp.float32),
-            "global_geom": gridmap.make_geom(
-                center, info.resolution, arr.shape[0], arr.shape[1],
-                dtype=jnp.float32),
+            "global_map": gm,
+            "global_geom": gg,
             "use_pallas": True,
         }
 
@@ -203,12 +232,25 @@ def _cmd_sweep(args) -> int:
 
     p = dataclasses.replace(
         SolverParams(), horizon=args.horizon, w_uncertainty=args.w_uncertainty)
+    gm = gg = None
+    if args.map is not None:
+        gm, gg = _load_global_map(args.map)
+    scenario = plan = None
+    if args.rotate:
+        import numpy as _np
+
+        from cilqr_tpu.sim import scenarios as _sc
+
+        scenario, plan = _sc.rotate_scenario(
+            _sc.make_gauntlet(), _sc.plan_for("compare"),
+            float(_np.deg2rad(args.rotate)))
     rows = sweep_mod.run_sigma_sweep(
         [float(s) for s in args.sigmas.split(",")],
         algorithms=tuple(args.algorithms.split(",")),
         p=p, n_runs=args.runs, n_cycles=args.cycles, seed=args.seed,
         sigma_theta_ratio=args.sigma_theta_ratio,
         use_pallas=not args.no_pallas,
+        global_map=gm, global_geom=gg, scenario=scenario, plan=plan,
     )
     out_dir = pathlib.Path(args.out)
     out_dir.mkdir(parents=True, exist_ok=True)
@@ -241,6 +283,13 @@ def main(argv=None) -> int:
     r.add_argument("--y0", type=float, default=-306.74)
     r.add_argument("--v0", type=float, default=4.0)
     r.add_argument("--yaw0", type=float, default=0.0)
+    r.add_argument("--map", default=None, metavar="YAML",
+                   help="map_server YAML (Town02.yaml/h301.yaml semantics) — "
+                        "enables the per-cycle map_engine costmap pipeline "
+                        "on that map")
+    r.add_argument("--full-stack", action="store_true",
+                   help="per-cycle costmap pipeline on a synthetic "
+                        "Town02-style prior (same as --map but synthesized)")
     r.set_defaults(fn=_cmd_run)
 
     a = sub.add_parser("analyze", help="offline metrics from an experiment log")
@@ -278,6 +327,9 @@ def main(argv=None) -> int:
     c.add_argument("--full-stack", action="store_true",
                    help="rebuild the uncertainty costmap every cycle from a "
                         "synthetic Town02-style prior (map_engine pipeline)")
+    c.add_argument("--map", default=None, metavar="YAML",
+                   help="map_server YAML to use as the global prior "
+                        "(implies --full-stack)")
     c.set_defaults(fn=_cmd_compare)
 
     s = sub.add_parser(
@@ -300,6 +352,12 @@ def main(argv=None) -> int:
                    help="sigma_theta = ratio * sigma_xy")
     s.add_argument("--no-pallas", action="store_true",
                    help="XLA reference propagation (CPU-friendly)")
+    s.add_argument("--map", default=None, metavar="YAML",
+                   help="map_server YAML as the global prior (default: "
+                        "synthetic Town02-style map)")
+    s.add_argument("--rotate", type=float, default=0.0, metavar="DEG",
+                   help="rotate the whole gauntlet + route by DEG degrees "
+                        "(proves the separation is not axis-aligned)")
     s.add_argument("--out", default="/tmp/cilqr_sweep")
     s.set_defaults(fn=_cmd_sweep)
 

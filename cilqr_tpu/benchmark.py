@@ -93,33 +93,43 @@ def main():
     # result, so XLA cannot CSE or reorder them) and take the slope
     # (t(k2) - t(k1)) / (k2 - k1): per-solve device time with the dispatch
     # overhead cancelled exactly.
-    def make_chain(k):
-        def f(e, u):
-            def body(i, carry):
-                e_, u_ = carry
-                r = solver.run_step(p, plan, n, e_, u_, obstacles, unc)
-                e2 = e_ + 1e-6 * r.X[1]  # data dependency between solves
-                return (e2, r.U)
+    def chain_slope_ms(pp):
+        def make_chain(k):
+            def f(e, u):
+                def body(i, carry):
+                    e_, u_ = carry
+                    r = solver.run_step(pp, plan, n, e_, u_, obstacles, unc)
+                    e2 = e_ + 1e-6 * r.X[1]  # data dependency between solves
+                    return (e2, r.U)
 
-            return jax.lax.fori_loop(0, k, body, (e, u))
+                return jax.lax.fori_loop(0, k, body, (e, u))
 
-        return jax.jit(f)
+            return jax.jit(f)
 
-    k1, k2 = 4, 36
-    c1, c2 = make_chain(k1), make_chain(k2)
-    jax.block_until_ready(c1(egos[0], U0s[0]))
-    jax.block_until_ready(c2(egos[0], U0s[0]))
-    t1s, t2s = [], []
-    for r in range(7):
-        e_in = egos[r % B]
-        t0 = time.perf_counter()
-        jax.block_until_ready(c1(e_in, U0s[0]))
-        t1s.append(time.perf_counter() - t0)
-        t0 = time.perf_counter()
-        jax.block_until_ready(c2(e_in, U0s[0]))
-        t2s.append(time.perf_counter() - t0)
-    device_solve_ms = (
-        (float(np.median(t2s)) - float(np.median(t1s))) / (k2 - k1) * 1e3
+        k1, k2 = 4, 36
+        c1, c2 = make_chain(k1), make_chain(k2)
+        jax.block_until_ready(c1(egos[0], U0s[0]))
+        jax.block_until_ready(c2(egos[0], U0s[0]))
+        t1s, t2s = [], []
+        for r in range(7):
+            e_in = egos[r % B]
+            t0 = time.perf_counter()
+            jax.block_until_ready(c1(e_in, U0s[0]))
+            t1s.append(time.perf_counter() - t0)
+            t0 = time.perf_counter()
+            jax.block_until_ready(c2(e_in, U0s[0]))
+            t2s.append(time.perf_counter() - t0)
+        return (float(np.median(t2s)) - float(np.median(t1s))) / (k2 - k1) * 1e3
+
+    device_solve_ms = chain_slope_ms(p)
+    # The SAME end-to-end methodology with backward_impl="pscan": the
+    # associative-scan Riccati exists solely as a B=1 serving-latency play
+    # (VERDICT r2 #3) — its backward-only microbench win (561 -> 385 us)
+    # must survive the full solve (derivatives + forward included) to
+    # justify itself.  Both numbers are in the JSON so the comparison is
+    # recorded every round.
+    device_solve_ms_pscan = chain_slope_ms(
+        dataclasses.replace(p, backward_impl="pscan")
     )
 
     # batched throughput: pipelined dispatch with *varied* inputs per
@@ -279,6 +289,20 @@ def main():
         )
 
     mean_iters = float(jnp.mean(out.iterations.astype(jnp.float32)))
+
+    # Speed-of-light accounting for the headline kernel (BASELINE north
+    # star; full 3-kernel report: scripts/speed_of_light.py): analytic
+    # FLOPs per LM iteration vs measured per-scenario-per-iteration device
+    # time from the throughput phase above.
+    from cilqr_tpu.utils import roofline
+
+    sol = roofline.mega_iteration_cost(
+        p, p.n_closest_samples, obstacles.pos.shape[0],
+        -(-(unc.values.shape[0] * unc.values.shape[1]) // 128), has_unc=True,
+    )
+    per_scen_iter_s = dt / (B * max(mean_iters, 1.0))
+    mega_pct_of_sol = round(100.0 * sol.t_sol / per_scen_iter_s, 1)
+
     print(
         json.dumps(
             {
@@ -293,7 +317,10 @@ def main():
                 "p99_single_solve_ms": round(p99 * 1e3, 3),
                 "p99_under_budget": p99 < 0.1,
                 "device_single_solve_ms": round(device_solve_ms, 3),
+                "device_single_solve_ms_pscan": round(device_solve_ms_pscan, 3),
                 "mean_lm_iterations": round(mean_iters, 2),
+                "mega_pct_of_sol": mega_pct_of_sol,
+                "mega_sol_binding_resource": sol.bound,
                 "device": str(jax.devices()[0]),
                 **extras,
             }

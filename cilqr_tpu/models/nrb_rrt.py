@@ -156,7 +156,12 @@ def plan_step(
     W = wx.shape[0]
     tx = jnp.gradient(wx)
     ty = jnp.gradient(wy)
-    tn = jnp.sqrt(tx * tx + ty * ty)
+    # Guard |t|: get_local_plan repeats the last waypoint near the route end
+    # (reference_path repeat-last behavior), where the gradient is exactly 0
+    # and an unguarded divide would poison the sampler with NaNs.  With the
+    # guard those slots sample ON the line (lat offset collapses), which is
+    # the right degraded behavior in the final metres.
+    tn = jnp.maximum(jnp.sqrt(tx * tx + ty * ty), 1e-6)
     nx, ny = -ty / tn, tx / tn                    # unit normals
     goal = jnp.stack([wx[-1], wy[-1]])
 
@@ -246,18 +251,28 @@ def plan_step(
         0, np_.n_iters, grow, (states0, parent0, ctrl0, cost0, time0, valid0))
 
     # ---- best node: cost-to-come + weighted goal distance ----
+    # The root is EXCLUDED from the argmin: picking it would make the whole
+    # plan an unchecked constant-speed coast (no edge was ever risk-checked);
+    # if no grown node is valid, ``found`` is False and the brake fallback
+    # below takes over.
     d_goal = jnp.sqrt(jnp.sum((states[:, :2] - goal) ** 2, -1))
     score = cost + np_.goal_weight * d_goal
-    best = jnp.argmin(jnp.where(valid, score, jnp.inf)).astype(jnp.int32)
-    found = jnp.any(valid & (jnp.arange(Nn) > 0))
+    grown = valid & (jnp.arange(Nn) > 0)
+    best = jnp.argmin(jnp.where(grown, score, jnp.inf)).astype(jnp.int32)
+    found = jnp.any(grown)
 
     # ---- extract the control tape root -> best (parent-pointer walk) ----
     # Each node v > 0 was reached by holding ctrl[v] over horizon steps
     # [time[v] - m, time[v]); walking best -> root scatters each edge's
     # control into its own slot, so chains deeper than the horizon still
     # execute the FIRST edges from the root, not the tail.
+    # Tape slots past the best chain's depth default to the BRAKE primitive
+    # (full decel, zero yaw rate), not zero controls: a chain shorter than
+    # the horizon must not coast at constant speed through un-risk-checked
+    # steps — it brakes, matching the no-path fallback semantics below.
     max_edges = 4 * N // m + 1
-    edges0 = jnp.zeros((max_edges, 2), dtype)
+    edges0 = jnp.broadcast_to(
+        jnp.asarray([p.acc_min, 0.0], dtype), (max_edges, 2))
 
     def back(c, _):
         edges, node = c

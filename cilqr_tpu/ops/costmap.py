@@ -498,6 +498,7 @@ def build_local_costmap(
     tracked_box: Optional[jax.Array] = None,
     tracked_valid: Optional[jax.Array] = None,
     with_ellipse_layer: bool = False,
+    sigmas: Optional[jax.Array] = None,
 ) -> LocalCostmap:
     """Full costmap tick (odomCallback, local_costmap.cpp:172-310).
 
@@ -511,6 +512,10 @@ def build_local_costmap(
     layers would be dead weight.  ``with_ellipse_layer`` additionally fills
     the viz-only ``ellipse_map`` with the ego-pose 95% confidence ellipse
     footprint (the live realization of the layer declared at :130).
+    ``sigmas`` (3,) overrides the configured propagation sigmas as a traced
+    value (one compiled program serves a whole sigma sweep; size
+    ``cp.window_radius`` for the largest sigma via
+    ``required_window_radius``).
     """
     ego_xy = ego_state[:2]
     ego_yaw = ego_state[3]
@@ -542,9 +547,11 @@ def build_local_costmap(
     if use_pallas:
         from cilqr_tpu.ops import uncertainty_pallas
 
-        unc = uncertainty_pallas.propagate_uncertainty_tpu(cp, vehicle_map, geom, ego_yaw)
+        unc = uncertainty_pallas.propagate_uncertainty_tpu(
+            cp, vehicle_map, geom, ego_yaw, sigmas=sigmas)
     else:
-        unc = propagate_uncertainty_reference(cp, vehicle_map, geom, ego_yaw)
+        unc = propagate_uncertainty_reference(
+            cp, vehicle_map, geom, ego_yaw, sigmas=sigmas)
 
     return LocalCostmap(vehicle_map, bbox, unc, corridor, geom, ego_xy, ego_yaw,
                         semantic_lidar_map=semantic, ellipse_map=ellipse)
@@ -566,8 +573,14 @@ def build_local_costmap_batched(
     global_res: Optional[float] = None,
     tracked_boxes: Optional[jax.Array] = None,
     tracked_valid: Optional[jax.Array] = None,
+    sigmas: Optional[jax.Array] = None,
 ) -> LocalCostmap:
     """Per-scenario costmap ticks for a (B, 4) ego batch, one shared world.
+
+    ``sigmas`` (B, 3) or (3,) overrides the configured propagation sigmas as
+    a TRACED value (broadcast to every scenario when 1-D); the static
+    ``band_plan`` / ``cp.window_radius`` must be sized for the largest
+    sigma the caller will feed.
 
     ``tracked_boxes`` (B, 4) / ``tracked_valid`` (B,): per-scenario
     KF-smoothed perception boxes — rasterized into a batched
@@ -628,10 +641,12 @@ def build_local_costmap_batched(
             band_plan = uncertainty_pallas.BandPlan(
                 ((0, cp.rows, cp.window_radius),), None
             )
-        elif band_plan.sigma_hi is not None:
+        elif band_plan.sigma_hi is not None and sigmas is None:
             # a cached plan built for smaller sigmas would silently
             # truncate 95% ellipses (same guard as monte_carlo.monte_carlo
-            # applies for its sampled-sigma plans)
+            # applies for its sampled-sigma plans).  With traced ``sigmas``
+            # the values are unknowable at trace time — the caller owns the
+            # bound, exactly like the Monte-Carlo sampled-sigma path.
             sh = band_plan.sigma_hi
             if (cp.sigma_x > sh[0] or cp.sigma_y > sh[1]
                     or cp.sigma_theta > sh[2]):
@@ -640,13 +655,25 @@ def build_local_costmap_batched(
                     f"uses ({cp.sigma_x}, {cp.sigma_y}, {cp.sigma_theta})"
                     " — rebuild it with make_band_plan_bounds"
                 )
+        sig_b = None
+        if sigmas is not None:
+            sig_b = jnp.broadcast_to(
+                jnp.asarray(sigmas), (ego_states.shape[0], 3))
         unc = uncertainty_pallas.propagate_uncertainty_tpu_banded(
-            cp, vehicle_map, geom, yaws, None, band_plan
+            cp, vehicle_map, geom, yaws, sig_b, band_plan
         )
     else:
-        unc = jax.vmap(
-            lambda vm, g, y: propagate_uncertainty_reference(cp, vm, g, y)
-        )(vehicle_map, geom, yaws)
+        if sigmas is None:
+            unc = jax.vmap(
+                lambda vm, g, y: propagate_uncertainty_reference(cp, vm, g, y)
+            )(vehicle_map, geom, yaws)
+        else:
+            sig_b = jnp.broadcast_to(
+                jnp.asarray(sigmas), (ego_states.shape[0], 3))
+            unc = jax.vmap(
+                lambda vm, g, y, s: propagate_uncertainty_reference(
+                    cp, vm, g, y, sigmas=s)
+            )(vehicle_map, geom, yaws, sig_b)
 
     return LocalCostmap(
         vehicle_map, bbox, unc, corridor, geom, ego_states[:, :2], yaws,

@@ -162,11 +162,13 @@ def _kernel(R: int, res: float, chi2: float, rows: int, cols: int,
 
 
 @functools.partial(jax.jit, static_argnums=(0, 4, 5))
-def _propagate(cp: CostmapParams, prior, xs, ys, faithful_rho: bool, interpret: bool, ego_yaw):
+def _propagate(cp: CostmapParams, prior, xs, ys, faithful_rho: bool, interpret: bool, ego_yaw,
+               sigmas=None):
     rows, cols = prior.shape
     R = cp.window_radius
     prior32 = prior.astype(jnp.float32)
-    sx, sy, rho = costmap_mod.cell_sigma_rho(cp, xs, ys, ego_yaw, faithful=faithful_rho)
+    sx, sy, rho = costmap_mod.cell_sigma_rho(
+        cp, xs, ys, ego_yaw, faithful=faithful_rho, sigmas=sigmas)
     psd = (jnp.abs(rho) < 1.0).astype(jnp.float32)
     rho = jnp.where(psd > 0, rho, 0.0).astype(jnp.float32)
     prior_pad = jnp.pad(prior32, R)
@@ -201,13 +203,20 @@ def propagate_uncertainty_tpu(
     ego_yaw: jax.Array,
     faithful_rho: bool = False,
     interpret: bool = False,
+    sigmas=None,
 ) -> jax.Array:
     """Drop-in fast path for ``costmap.propagate_uncertainty_reference``.
 
-    ``interpret=True`` runs the Pallas interpreter (for CPU tests)."""
+    ``interpret=True`` runs the Pallas interpreter (for CPU tests).
+    ``sigmas`` (3,) overrides the configured (sigma_x, sigma_y, sigma_theta)
+    as a TRACED value — the sigma-sweep compiles ONE program per algorithm
+    and feeds each grid point's sigmas as data; the static
+    ``cp.window_radius`` must be sized for the sweep's largest sigma
+    (``costmap.required_window_radius``)."""
     rows, cols = prior.shape
     xs, ys = gridmap.cell_positions(geom, rows, cols)
-    return _propagate(cp, prior, xs, ys, faithful_rho, interpret, ego_yaw)
+    return _propagate(cp, prior, xs, ys, faithful_rho, interpret, ego_yaw,
+                      sigmas=sigmas)
 
 
 def _kernel_band(R: int, res: float, chi2: float, band_rows: int, cols: int,

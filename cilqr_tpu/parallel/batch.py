@@ -127,3 +127,74 @@ def make_sharded_solver(p: SolverParams, mesh: Mesh, obstacles=None, unc_map=Non
         return shard_fn(plan_xy, plan_n, egos, U_warm)
 
     return jax.jit(fn), NamedSharding(mesh, P(BATCH_AXIS))
+
+
+def make_sharded_full_stack(
+    p: SolverParams,
+    cp,
+    mesh: Mesh,
+    n_cycles: int,
+    obstacles=None,
+    obs_xyyaw=None,
+    obs_size=None,
+    obs_mask=None,
+    band_plan=None,
+    global_res=None,
+    percept=None,
+):
+    """Scenario-sharded COMPLETE pipeline: per-cycle per-scenario costmap
+    rebuild (batched Pallas propagation + prior resample) feeding the hybrid
+    mega solver, with the perception channel optionally on — i.e.
+    ``plant.closed_loop_full_stack_batched`` per shard.  World inputs
+    (global map, route) are replicated; only the scenario axis is sharded,
+    so the per-cycle collectives are exactly one psum for the summary
+    metrics — everything else rides VMEM/HBM chip-locally.
+
+    Returns ``fn(global_map, global_geom, plan_xy, plan_n, x0s, key) ->
+    (final_states sharded, record sharded, summary replicated)`` where
+    ``summary`` is (mean_J, collision_frac) psum-reduced across the mesh.
+    Each shard folds its mesh position into the key so scenario noise
+    streams differ across shards.
+    """
+    n_dev = mesh.devices.size
+    batch_spec = P(BATCH_AXIS)
+    repl = P()
+
+    @partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(repl, repl, repl, repl, batch_spec, repl),
+        # record leaves are (n_cycles, B, ...): scenario axis is axis 1
+        out_specs=(batch_spec, P(None, BATCH_AXIS), repl),
+        check_vma=False,
+    )
+    def shard_fn(global_map, global_geom, plan_xy, plan_n, x0s, key):
+        from cilqr_tpu.sim import plant
+        from cilqr_tpu.utils.params import NoiseParams
+
+        key = jax.random.fold_in(key, jax.lax.axis_index(BATCH_AXIS))
+        xf, rec = plant.closed_loop_full_stack_batched(
+            p, cp, NoiseParams(), global_map, global_geom, plan_xy, plan_n,
+            x0s, key, n_cycles, obstacles=obstacles,
+            obs_xyyaw=obs_xyyaw, obs_size=obs_size, obs_mask=obs_mask,
+            band_plan=band_plan, global_res=global_res, percept=percept,
+        )
+        Bl = x0s.shape[0]
+        sums = jax.lax.psum(
+            jnp.stack([
+                jnp.sum(rec["J"][-1]),
+                jnp.sum(rec["collided"].any(axis=0).astype(rec["J"].dtype)),
+                jnp.asarray(Bl, rec["J"].dtype),
+            ]),
+            BATCH_AXIS,
+        )
+        summary = (sums[0] / sums[2], sums[1] / sums[2])
+        return xf, rec, summary
+
+    def fn(global_map, global_geom, plan_xy, plan_n, x0s, key):
+        if x0s.shape[0] % n_dev:
+            raise ValueError(
+                f"batch {x0s.shape[0]} not divisible by mesh size {n_dev}")
+        return shard_fn(global_map, global_geom, plan_xy, plan_n, x0s, key)
+
+    return jax.jit(fn), NamedSharding(mesh, P(BATCH_AXIS))

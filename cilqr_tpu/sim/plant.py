@@ -159,6 +159,7 @@ def closed_loop_full_stack(
     use_pallas: bool = False,
     plan_step=None,
     percept=None,
+    costmap_sigmas=None,
 ):
     """The complete two-node pipeline in one scan: every cycle rebuilds the
     local uncertainty costmap from the global prior (the map_engine node,
@@ -183,6 +184,10 @@ def closed_loop_full_stack(
     into ``semantic_lidar_map`` and overrides the vehicle map the
     propagation consumes.  SAT collision ground truth still uses the true
     moving pose.
+
+    ``costmap_sigmas`` (3,) feeds the propagation sigmas as a TRACED value
+    (sigma-sweep grids compile one program per algorithm); None keeps the
+    static ``cp`` sigmas.
     """
     from cilqr_tpu.models import uncertainty as unc_mod
     from cilqr_tpu.ops import costmap as costmap_mod, gridmap
@@ -231,7 +236,11 @@ def closed_loop_full_stack(
                 jnp.asarray(cp.resolution, dtype),
                 jnp.asarray([cp.rows * cp.resolution, cp.cols * cp.resolution], dtype),
             )
-            key_t, k_cam = jax.random.split(key_t)
+            # The camera key is DERIVED from the cycle key (fold_in), never
+            # split off it: the localization-noise stream is bit-identical
+            # with percept on/off, and matches the batched loop's per-lane
+            # rule (camera key = fold_in(noise key, 7)).
+            k_cam = jax.random.fold_in(key_t, 7)
             z, z_valid = perception.bbox_measurement(
                 cp, geom_t, state[:2], state[3],
                 obs_now[pi, :2], sizes[pi], obs_now[pi, 2],
@@ -245,6 +254,7 @@ def closed_loop_full_stack(
             obs_now[:, :2], sizes, obs_now[:, 2], cm_raster_mask,
             use_pallas=use_pallas,
             tracked_box=tracked_box, tracked_valid=tracked_valid,
+            sigmas=costmap_sigmas,
         )
         umap = unc_mod.UncertaintyMap(
             cm.uncertainty_map, cm.geom, cm.origin_xy, cm.origin_yaw
@@ -359,6 +369,10 @@ def closed_loop_full_stack_batched(
     band_plan=None,
     global_res: Optional[float] = None,
     percept=None,
+    costmap_sigmas=None,
+    plan_step_batched=None,
+    use_pallas: bool = True,
+    per_run_keys=None,
 ):
     """The COMPLETE reference pipeline, batched: every plan->act cycle,
     every scenario rebuilds its own vehicle-frame uncertainty costmap from
@@ -377,6 +391,18 @@ def closed_loop_full_stack_batched(
     lanes are solved and discarded).  This is the scaled replacement for N
     parallel CARLA+ROS stacks: thousands of vehicles, each with its own
     map engine and planner node, in one jitted scan on one chip.
+
+    ``plan_step_batched(noisy_states, U_warm, umaps) -> batched
+    SolveResult-like`` swaps in a different batched planner (e.g. a
+    vmapped Frenet/CCNMPC step, or a vmapped CILQR solve when the batch is
+    far below the mega-kernel tile); default is the hybrid mega solver.
+
+    ``per_run_keys`` (B,) makes the noise/camera streams BIT-IDENTICAL to
+    ``vmap(closed_loop*)`` over those keys (each lane's cycle keys are
+    ``split(per_run_keys[i], n_cycles)``, the single-loop discipline) — the
+    sigma sweep uses this so batched costmap-consuming cells see exactly
+    the draws the blind single-loop cells see.  Default (None): the cycle
+    key is split per lane (the serving/bench discipline).
     """
     from cilqr_tpu.models import solver_batched, uncertainty as unc_mod
     from cilqr_tpu.ops import costmap as costmap_mod
@@ -407,6 +433,10 @@ def closed_loop_full_stack_batched(
 
     def cycle(carry, inp):
         key_t, t = inp
+        if per_run_keys is None:
+            lane_keys = jax.random.split(key_t, B)  # one noise key per lane
+        else:
+            lane_keys = key_t  # already (B,) per-lane keys for this cycle
         if percept is None:
             states, U_warm = carry
             obs_now = obs_xyyaw
@@ -431,7 +461,9 @@ def closed_loop_full_stack_batched(
                     cp, g, s[:2], s[3], obs_now[pi, :2], sizes[pi],
                     obs_now[pi, 2], key=k, sigma=percept.bbox_sigma)
 
-            k_cams = jax.random.split(jax.random.fold_in(key_t, 7), B)
+            # same rule as the single loop: camera key = fold_in(noise key, 7)
+            # per lane, so percept on/off never perturbs the noise stream
+            k_cams = jax.vmap(lambda k: jax.random.fold_in(k, 7))(lane_keys)
             zs, valid = jax.vmap(measure)(states, k_cams)
             kf, boxes = jax.vmap(tracker.step)(kf, zs, valid)
 
@@ -440,16 +472,19 @@ def closed_loop_full_stack_batched(
             obs_now[:, :2], sizes, obs_now[:, 2], cm_raster_mask,
             band_plan=band_plan, global_res=global_res,
             tracked_boxes=boxes, tracked_valid=valid,
+            sigmas=costmap_sigmas, use_pallas=use_pallas,
         )
         umaps = unc_mod.UncertaintyMap(
             cms.uncertainty_map, cms.geom, cms.origin_xy, cms.origin_yaw
         )
-        keys = jax.random.split(key_t, B)
-        noisy = jax.vmap(lambda k, s: inject_noise(noise, k, s))(keys, states)
-        res = solver_batched.run_steps_batched(
-            p, plan_xy, plan_n, noisy, U_warm, obstacles, umaps,
-            impl="mega", world_batched=True,
-        )
+        noisy = jax.vmap(lambda k, s: inject_noise(noise, k, s))(lane_keys, states)
+        if plan_step_batched is not None:
+            res = plan_step_batched(noisy, U_warm, umaps)
+        else:
+            res = solver_batched.run_steps_batched(
+                p, plan_xy, plan_n, noisy, U_warm, obstacles, umaps,
+                impl="mega", world_batched=True,
+            )
         if M:
             hits = jax.vmap(
                 lambda s: check_collisions(p, s, obs_now, obs_size, obs_mask)
@@ -476,7 +511,14 @@ def closed_loop_full_stack_batched(
         )
         return (nxt.astype(dtype), res.U.astype(dtype), kf), rec
 
-    keys = jax.random.split(key, n_cycles)
+    if per_run_keys is None:
+        keys = jax.random.split(key, n_cycles)
+    else:
+        # (T, B): lane i's cycle-t key == split(per_run_keys[i], T)[t],
+        # the exact key the single loop would draw for that run
+        keys = jnp.swapaxes(
+            jax.vmap(lambda k: jax.random.split(k, n_cycles))(per_run_keys),
+            0, 1)
     carry0 = (x0s, U0) if percept is None else (x0s, U0, kf0)
     (xf, *_), recs = jax.lax.scan(cycle, carry0, (keys, jnp.arange(n_cycles)))
     return xf, recs

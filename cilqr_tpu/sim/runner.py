@@ -91,6 +91,7 @@ def make_plan_step(
     unc_map=None,
     frenet_params=None,
     cc_params=None,
+    nrb_params=None,
 ):
     """Planner step factory: ``(noisy_state, U_warm, umap=None) ->
     SolveResult-like``.
@@ -117,7 +118,7 @@ def make_plan_step(
     if algorithm == "nrb_rrt":
         from cilqr_tpu.models import nrb_rrt
 
-        nrbp = nrb_rrt.NRBParams()
+        nrbp = nrb_params if nrb_params is not None else nrb_rrt.NRBParams()
         sig = jnp.asarray([noise.sigma_x, noise.sigma_y, noise.sigma_theta])
         return lambda e, u, umap=None: nrb_rrt.plan_step(
             p, nrbp, plan, n, e, obstacles, sigmas=sig)
@@ -154,6 +155,7 @@ def run_experiment_batch(
     unc_map=None,
     frenet_params=None,
     cc_params=None,
+    nrb_params=None,
     costmap_params=None,
     global_map=None,
     global_geom=None,
@@ -179,6 +181,7 @@ def run_experiment_batch(
     plan_step = make_plan_step(
         algorithm, p, noise, plan, n, obstacles=ob, unc_map=unc_map,
         frenet_params=frenet_params, cc_params=cc_params,
+        nrb_params=nrb_params,
     )
     full_stack = costmap_params is not None
 
@@ -267,12 +270,24 @@ def run_experiment(
     dtype=jnp.float32,
     log=None,
     algorithm: str = "cilqr",
+    costmap_params=None,
+    global_map=None,
+    global_geom=None,
+    use_pallas: bool = False,
 ):
     """Closed-loop run with per-cycle wall-clock planning times.
 
     Returns dict of stacked per-cycle arrays (the /experiment bag payload)
     including measured ``planning_time``; optionally appends every record to
     a native ``cilqr_tpu.utils.explog.ExperimentLog``.
+
+    With ``costmap_params``/``global_map``/``global_geom`` set, every cycle
+    rebuilds the local uncertainty costmap from the global prior at the
+    true ego pose (the map_engine node on real map data — the CLI's
+    ``--map`` path) and feeds it to costmap-consuming algorithms; the
+    separate ``costmap_time`` stream records its wall clock (the reference
+    times only the ilqr node, ilqr_uncertainty_node.cpp:116-124, so
+    ``planning_time`` stays the solver alone).
     """
     plan, n = rp.pad_global_plan(p, plan_np, dtype=dtype)
     if scenario is not None:
@@ -284,23 +299,57 @@ def run_experiment(
         algorithm, p, noise, plan, n, obstacles=ob, unc_map=unc_map))
     step = jax.jit(lambda s, u0: dynamics.step(p, s, u0))
 
+    cm_fn = None
+    if costmap_params is not None:
+        from cilqr_tpu.models import uncertainty as unc_mod
+        from cilqr_tpu.ops import costmap as costmap_mod
+
+        if scenario is None:
+            raise ValueError("costmap pipeline needs a scenario (obstacle set)")
+        M = obs_xyyaw.shape[0]
+        sizes = jnp.broadcast_to(obs_size, (M, 2))
+
+        def _cm(state):
+            cm = costmap_mod.build_local_costmap(
+                costmap_params, global_map, global_geom, plan, n, state,
+                obs_xyyaw[:, :2], sizes, obs_xyyaw[:, 2], obs_mask,
+                use_pallas=use_pallas,
+            )
+            return unc_mod.UncertaintyMap(
+                cm.uncertainty_map, cm.geom, cm.origin_xy, cm.origin_yaw)
+
+        cm_fn = jax.jit(_cm)
+
     key = jax.random.key(seed)
     state = jnp.asarray(x0, dtype)
     U_warm = solver.initial_controls(p, dtype=dtype)
 
     # warm the jit cache so recorded planning times reflect the steady state
     # (the reference node is likewise warm after its first cycle)
-    jax.block_until_ready(solve(state, U_warm))
+    if cm_fn is not None:
+        jax.block_until_ready(solve(state, U_warm, cm_fn(state)))
+    else:
+        jax.block_until_ready(solve(state, U_warm))
 
     recs = {k: [] for k in ("start_time", "start_pos", "noisy_pos", "planning_time",
                             "X", "U", "J", "iterations", "collided")}
+    if cm_fn is not None:
+        recs["costmap_time"] = []
     t_start = time.time()
     for t in range(n_cycles):
         key, k_t = jax.random.split(key)
         noisy = plant.inject_noise(noise, k_t, state)
 
-        t0 = time.perf_counter()
-        res = solve(noisy, U_warm)
+        if cm_fn is not None:
+            t0 = time.perf_counter()
+            umap = cm_fn(state)
+            jax.block_until_ready(umap)
+            recs["costmap_time"].append(time.perf_counter() - t0)
+            t0 = time.perf_counter()
+            res = solve(noisy, U_warm, umap)
+        else:
+            t0 = time.perf_counter()
+            res = solve(noisy, U_warm)
         jax.block_until_ready(res)
         planning_time = time.perf_counter() - t0
 

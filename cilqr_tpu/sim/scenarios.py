@@ -154,6 +154,48 @@ def make_gauntlet(
     )
 
 
+def rotate_scenario(
+    sc: Scenario, plan: np.ndarray, angle: float,
+    origin: Tuple[float, float] = None,
+) -> Tuple[Scenario, np.ndarray]:
+    """Rigidly rotate a scenario and its global route by ``angle`` about
+    ``origin`` (default: the scenario start position).
+
+    Used to prove uncertainty-term separations are NOT axis-aligned
+    artifacts: the gauntlet sweep rerun on a rotated corridor (the
+    synthetic-h301 rotated-corridor class, utils/maps.make_synthetic_site)
+    must show the same collision/clearance split.  All poses — obstacles,
+    walls, ego spawn, route waypoints — rotate together; wall OBB yaws pick
+    up the rotation so SAT collision and the OBB wall-clearance metric stay
+    exact.
+    """
+    if origin is None:
+        origin = (sc.start[0], sc.start[1])
+    o = np.asarray(origin, np.float64)
+    c, s = np.cos(angle), np.sin(angle)
+    R = np.array([[c, -s], [s, c]])
+
+    def rot_poses(xyyaw: np.ndarray) -> np.ndarray:
+        if xyyaw.shape[0] == 0:
+            return xyyaw
+        out = xyyaw.copy()
+        out[:, :2] = (xyyaw[:, :2] - o) @ R.T + o
+        out[:, 2] = xyyaw[:, 2] + angle
+        return out
+
+    start_xy = (np.asarray(sc.start[:2]) - o) @ R.T + o
+    rotated = dataclasses.replace(
+        sc,
+        name=f"{sc.name}_rot{angle:.2f}",
+        obstacles_xyyaw=rot_poses(np.asarray(sc.obstacles_xyyaw, np.float64)),
+        walls_xyyaw=rot_poses(np.asarray(sc.walls_xyyaw, np.float64)),
+        start=(float(start_xy[0]), float(start_xy[1]), sc.start[2],
+               sc.start[3] + angle),
+    )
+    plan_rot = (np.asarray(plan, np.float64) - o) @ R.T + o
+    return rotated, plan_rot
+
+
 def get_scenario(name: str) -> Scenario:
     if name == "gauntlet":
         return make_gauntlet()

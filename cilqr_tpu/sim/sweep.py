@@ -11,6 +11,15 @@ that claim *measurably*: a grid of noise levels x algorithms on the
 sigmas matched to the injected noise exactly as the reference experiment
 sets both from the same launch/rqt_reconfigure values.
 
+The algorithm axis covers the reference's full comparison set
+(``batch_dataprocess.py:458-463``: CILQR / CILQR_Base / Frenet ablations /
+CCNMPC / NRB-RRT).
+
+Compilation model: sigma is a TRACED input — ONE program is compiled per
+algorithm (window radius bucketed to the sweep's largest sigma), then every
+grid point is a data-only dispatch.  A 10-sigma x 6-algorithm production
+grid compiles 6 programs, not 60.
+
 Outputs per (sigma, algorithm): collision-run count, min wall clearance,
 min obstacle distance, mean speed — the batch_dataprocess.py metric set
 plus the wall-clearance column the walled scenario adds.
@@ -26,10 +35,20 @@ import numpy as np
 from cilqr_tpu.sim import runner, scenarios
 from cilqr_tpu.utils.params import CostmapParams, NoiseParams, SolverParams
 
-#: The ablation pairs the sweep must separate: uncertainty-aware vs blind
-#: CILQR (batch_dataprocess.py:459-463) and the Frenet propagation-vs-origin
-#: ablation (Frenet/readme.md modes).
-SWEEP_ALGORITHMS = ("cilqr", "cilqr_base", "frenet_origin", "frenet_propagation")
+#: The complete reference comparison axis under noise: uncertainty-aware vs
+#: blind CILQR, the Frenet propagation-vs-origin ablation, chance-constrained
+#: NMPC and risk-bounded RRT (batch_dataprocess.py:458-463).
+SWEEP_ALGORITHMS = (
+    "cilqr", "cilqr_base", "frenet_origin", "frenet_propagation",
+    "ccnmpc", "nrb_rrt",
+)
+
+#: Algorithms that consume the per-cycle uncertainty costmap.  The blind
+#: ablations discard it BY DEFINITION (the CILQR_Base / Frenet-origin /
+#: CCNMPC / NRB-RRT nodes never subscribe to the map topic), so skipping
+#: the build for them is faithful; CCNMPC and NRB-RRT instead receive the
+#: injected noise sigmas directly (their own uncertainty machinery).
+MAP_CONSUMERS = ("cilqr", "frenet_propagation")
 
 
 def matched_costmap_params(
@@ -49,18 +68,123 @@ def matched_costmap_params(
     return cp
 
 
-def wall_clearance(rec, scenario: scenarios.Scenario, ego_width: float):
+def wall_clearance(rec, scenario: scenarios.Scenario, ego_width: float,
+                   ego_length: float = 4.79):
     """Min distance from the ego side to the nearest wall inner face over a
-    recorded batch (runs, cycles, 4).  Walls are axis-aligned in the
-    gauntlet (yaw 0, along x); clearance = half_width - |y - y_c| - w/2."""
+    recorded batch (runs, cycles, 4).
+
+    Walls are arbitrary OBBs (``Scenario.walls_xyyaw`` carries per-wall yaw)
+    — for each wall, the ego center's lateral offset along the wall normal
+    minus half wall thickness minus half ego width, counted only while the
+    ego is alongside the wall (longitudinal overlap with the wall span,
+    grown by half the ego length).  Works unchanged on rotated corridors
+    (synthetic h301-class sites), where the former axis-aligned y-band
+    formula would silently report garbage.
+    """
     if scenario.n_walls == 0:
         return None
     sp = np.asarray(rec["start_pos"])  # (runs, T, 4)
-    y = sp[..., 1]
-    y_lo = scenario.walls_xyyaw[:, 1].min() + scenario.wall_size[1] / 2.0
-    y_hi = scenario.walls_xyyaw[:, 1].max() - scenario.wall_size[1] / 2.0
-    clear = np.minimum(y_hi - y, y - y_lo) - ego_width / 2.0
+    x, y = sp[..., 0], sp[..., 1]
+    L, Wt = float(scenario.wall_size[0]), float(scenario.wall_size[1])
+    clear = np.full(x.shape, np.inf)
+    for wx, wy, wyaw in np.asarray(scenario.walls_xyyaw, np.float64):
+        c, s = np.cos(wyaw), np.sin(wyaw)
+        dx, dy = x - wx, y - wy
+        lon = c * dx + s * dy
+        lat = -s * dx + c * dy
+        alongside = np.abs(lon) <= L / 2.0 + ego_length / 2.0
+        cw = np.abs(lat) - Wt / 2.0 - ego_width / 2.0
+        clear = np.minimum(clear, np.where(alongside, cw, np.inf))
+    # runs that never pass a wall contribute nothing (all-inf row)
     return clear.min(axis=-1)  # (runs,)
+
+
+def make_cell_fn(
+    algorithm: str,
+    p: SolverParams,
+    cp: CostmapParams,
+    scenario: scenarios.Scenario,
+    plan,
+    n,
+    x0,
+    n_cycles: int,
+    n_runs: int,
+    global_map,
+    global_geom,
+    use_pallas: bool,
+    dtype,
+    nrb_params=None,
+):
+    """One jitted sweep cell per algorithm: ``fn(sigma_xy, sigma_theta, key)
+    -> record pytree`` with sigma TRACED (noise injection, planner sigmas,
+    and costmap propagation sigmas all read it as data).
+
+    ``cp`` must already be window-sized for the largest sigma the cell will
+    see (``matched_costmap_params`` at the sweep maximum)."""
+    import jax
+    import jax.numpy as jnp
+
+    from cilqr_tpu.sim import plant
+
+    ob, obs_xyyaw, obs_size, obs_mask = runner.build_scenario_inputs(
+        p, scenario, dtype)
+    x0j = jnp.asarray(x0, dtype)
+    consumes_map = algorithm in MAP_CONSUMERS
+
+    band_plan = None
+    g_res = None
+    if consumes_map and use_pallas:
+        # banded disc-cut propagation + window-gather resample over the RUN
+        # axis: the production-resolution (152x104@0.2) sweep is 3-10x the
+        # full-window vmapped form.  Bands sized for every corridor center
+        # the route can produce at the bucketed (largest) sigmas.
+        from cilqr_tpu.ops import costmap as costmap_mod
+        from cilqr_tpu.ops import sample_pallas, uncertainty_pallas
+
+        xr, yr = costmap_mod.corridor_center_bounds(cp, plan, n)
+        band_plan = uncertainty_pallas.make_band_plan_bounds(
+            cp, cp.rows, cp.cols, xr, yr,
+            (cp.sigma_x, cp.sigma_y, cp.sigma_theta))
+        gr = float(np.asarray(global_geom.resolution))
+        if sample_pallas.supports(cp.rows, cp.cols, cp.resolution, gr,
+                                  global_map.shape[0], global_map.shape[1]):
+            g_res = gr
+
+    def cell(s_xy, s_th, key):
+        noise = NoiseParams(s_xy, s_xy, s_th)
+        sig3 = jnp.stack([s_xy, s_xy, s_th]).astype(dtype)
+        plan_step = runner.make_plan_step(
+            algorithm, p, noise, plan, n, obstacles=ob,
+            nrb_params=nrb_params)
+        run_keys = jax.random.split(key, n_runs)
+
+        if consumes_map:
+            # batched full stack with per_run_keys: noise draws are
+            # BIT-IDENTICAL to the vmapped single loop the blind cells run,
+            # so every (sigma, algorithm) grid column sees the same world
+            x0s = jnp.broadcast_to(x0j, (n_runs, 4))
+            xf, rec = plant.closed_loop_full_stack_batched(
+                p, cp, noise, global_map, global_geom, plan, n,
+                x0s, key, n_cycles, obstacles=ob,
+                obs_xyyaw=obs_xyyaw, obs_size=obs_size, obs_mask=obs_mask,
+                band_plan=band_plan, global_res=g_res,
+                costmap_sigmas=sig3, use_pallas=use_pallas,
+                plan_step_batched=jax.vmap(plan_step),
+                per_run_keys=run_keys,
+            )
+            # (n_cycles, runs, ...) -> (runs, n_cycles, ...)
+            return xf, jax.tree.map(lambda a: jnp.swapaxes(a, 0, 1), rec)
+
+        def one(k):
+            return plant.closed_loop(
+                p, noise, plan, n, x0j, k, n_cycles,
+                obstacles=ob, obs_xyyaw=obs_xyyaw, obs_size=obs_size,
+                obs_mask=obs_mask, plan_step=plan_step,
+            )
+
+        return jax.vmap(one)(run_keys)
+
+    return jax.jit(cell)
 
 
 def run_sigma_sweep(
@@ -77,13 +201,22 @@ def run_sigma_sweep(
     sigma_theta_ratio: float = 0.017 / 0.16,
     use_pallas: bool = True,
     dtype=None,
+    plan=None,
+    nrb_params=None,
 ) -> list[dict]:
     """Run the (sigma x algorithm) grid; returns one result row per cell.
 
     Every algorithm sees the identical noise draws (same seeds) at each
     sigma; costmap-consuming algorithms get per-cycle propagated costmaps
-    whose sigmas match the injected noise (matched_costmap_params).
+    whose sigmas match the injected noise (the launch/rqt_reconfigure
+    matching of the reference experiment).  ONE program is compiled per
+    algorithm — sigma is traced, the costmap window is bucketed to the
+    largest sigma in the grid.
+
+    ``plan`` overrides the scenario's default global route (pass the
+    rotated route when sweeping a rotated-corridor site).
     """
+    import jax
     import jax.numpy as jnp
 
     from cilqr_tpu.ops import gridmap
@@ -104,54 +237,67 @@ def run_sigma_sweep(
         global_geom = gridmap.make_geom(
             center, info.resolution, arr.shape[0], arr.shape[1], dtype=dtype)
 
-    plan = scenarios.plan_for(sc.name if sc.name in scenarios._SCENARIOS else "compare")
+    if plan is None:
+        plan = scenarios.plan_for(
+            sc.name if sc.name in scenarios._SCENARIOS else "compare")
     x0 = np.array(sc.start)
 
+    # window bucketed once at the sweep maximum (one compile per algorithm)
+    s_max = max(float(s) for s in sigmas_xy)
+    cp_max = matched_costmap_params(cp, s_max, s_max * sigma_theta_ratio)
+
+    from cilqr_tpu.models import reference_path as rp
+
+    planj, n = rp.pad_global_plan(p, np.asarray(plan), dtype=dtype)
+
     rows = []
-    for s_xy in sigmas_xy:
-        s_th = s_xy * sigma_theta_ratio
-        noise = NoiseParams(s_xy, s_xy, s_th)
-        cps = matched_costmap_params(cp, s_xy, s_th)
-        for algo in algorithms:
-            # Only the uncertainty-consuming variants run the per-cycle
-            # map_engine pipeline; the blind ablations discard the costmap
-            # BY DEFINITION (the CILQR_Base / Frenet-origin nodes never
-            # subscribe to it), so skipping the build is faithful and the
-            # noise draws stay identical — closed_loop and
-            # closed_loop_full_stack split the same per-cycle keys.
-            consumes_map = algo in ("cilqr", "frenet_propagation")
-            out, run_rows = runner.run_experiment_batch(
-                p, noise, plan, x0, n_cycles, sc,
-                n_runs=n_runs, seed=seed, dtype=dtype, algorithm=algo,
-                costmap_params=cps if consumes_map else None,
-                global_map=global_map if consumes_map else None,
-                global_geom=global_geom if consumes_map else None,
-                use_pallas=use_pallas,
-            )
-            rec = out["record"]
-            get = rec.__getitem__ if isinstance(rec, dict) else lambda k: getattr(rec, k)
-            collided = np.asarray(get("collided"))  # (runs, T)
-            wc = wall_clearance(rec if isinstance(rec, dict) else rec._asdict(),
-                                sc, p.width)
-            row = {
-                "sigma_xy": float(s_xy),
-                "sigma_theta": round(float(s_th), 4),
-                "algorithm": algo,
-                "collision_runs": int((collided.sum(axis=-1) > 0).sum()),
-                "n_runs": n_runs,
-                "velocity_mean": round(
-                    float(np.mean([r["velocity_mean"] for r in run_rows])), 3),
-                "min_obstacle_distance": round(
-                    float(np.min([r["distance_to_obstacles_min"]
-                                  for r in run_rows])), 3),
-                "mean_jerk": round(
-                    float(np.mean([r["mean_jerk"] for r in run_rows])), 4),
-            }
-            if wc is not None:
-                row["min_wall_clearance"] = round(float(wc.min()), 3)
-                row["mean_min_wall_clearance"] = round(float(wc.mean()), 3)
-            rows.append(row)
+    for algo in algorithms:
+        fn = make_cell_fn(
+            algo, p, cp_max, sc, planj, n, x0, n_cycles, n_runs,
+            global_map, global_geom, use_pallas, dtype,
+            nrb_params=nrb_params)
+        for s_xy in sigmas_xy:
+            s_th = s_xy * sigma_theta_ratio
+            key = jax.random.key(seed)
+            _, rec = fn(jnp.asarray(s_xy, dtype), jnp.asarray(s_th, dtype), key)
+            rows.append(
+                summarize_cell(rec, sc, p, algo, float(s_xy), float(s_th),
+                               n_runs))
+    rows.sort(key=lambda r: (r["sigma_xy"], SWEEP_ALGORITHMS.index(r["algorithm"])
+                             if r["algorithm"] in SWEEP_ALGORITHMS else 99))
     return rows
+
+
+def summarize_cell(rec, sc: scenarios.Scenario, p: SolverParams,
+                   algo: str, s_xy: float, s_th: float, n_runs: int) -> dict:
+    """One result row from a (runs, cycles, ...) record pytree."""
+    from cilqr_tpu.utils import metrics as metrics_mod
+
+    import jax.numpy as jnp
+
+    get = rec.__getitem__ if isinstance(rec, dict) else lambda k: getattr(rec, k)
+    collided = np.asarray(get("collided"))  # (runs, T)
+    obs_xy = jnp.asarray(sc.obstacles_xyyaw[:, :2])
+    per_run = metrics_mod.analyze_batch(
+        jnp.asarray(np.asarray(get("start_pos"))), obs_xy, dt=p.timestep)
+    wc = wall_clearance(
+        rec if isinstance(rec, dict) else rec._asdict(), sc, p.width,
+        ego_length=p.length)
+    row = {
+        "sigma_xy": float(s_xy),
+        "sigma_theta": round(float(s_th), 4),
+        "algorithm": algo,
+        "collision_runs": int((collided.sum(axis=-1) > 0).sum()),
+        "n_runs": n_runs,
+        "velocity_mean": round(float(np.mean(per_run["velocity"].mean)), 3),
+        "min_obstacle_distance": round(
+            float(np.min(per_run["distance_to_obstacles"].min)), 3),
+        "mean_jerk": round(float(np.mean(per_run["mean_jerk"])), 4),
+    }
+    if wc is not None:
+        row["min_wall_clearance"] = round(float(wc.min()), 3)
+        row["mean_min_wall_clearance"] = round(float(wc.mean()), 3)
+    return row
 
 
 def format_table(rows: list[dict]) -> str:

@@ -323,6 +323,7 @@ def test_ccnmpc_sigma_zero_matches_base(lane_setup):
 
 
 # ------------------------------------------------------- comparison runner
+@pytest.mark.slow
 def test_algorithm_comparison_grid(global_plan, tmp_path):
     p = dataclasses.replace(SolverParams(), horizon=10, max_iterations=4)
     sc = scenarios.Scenario("cmp", np.array([[120.0, -305.0, 0.0]]))
@@ -349,6 +350,7 @@ def test_unknown_algorithm_rejected(lane_setup):
         runner.make_plan_step("rrt", p, NoiseParams(), plan, n)
 
 
+@pytest.mark.slow
 def test_full_stack_comparison_differentiates(global_plan):
     """With per-cycle costmaps, `cilqr` and `cilqr_base` actually diverge
     (without them the uncertainty term has nothing to consume)."""

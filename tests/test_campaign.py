@@ -10,6 +10,7 @@ from cilqr_tpu.models import reference_path as rp
 from cilqr_tpu.ops import gridmap
 from cilqr_tpu.parallel import batch as pbatch, campaign
 from cilqr_tpu.utils.params import CostmapParams, SolverParams
+import pytest
 
 
 def _setup(global_plan):
@@ -47,6 +48,7 @@ def test_campaign_runs_and_merges(global_plan, tmp_path):
     np.testing.assert_allclose(merged["mean_J"], out["mean_J"], rtol=1e-6)
 
 
+@pytest.mark.slow
 def test_campaign_resume_is_deterministic(global_plan, tmp_path):
     # uninterrupted 4 rounds
     full = _run(global_plan, tmp_path / "full", n_rounds=4, resume=False)

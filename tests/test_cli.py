@@ -5,8 +5,10 @@ import json
 import numpy as np
 
 from cilqr_tpu.__main__ import main
+import pytest
 
 
+@pytest.mark.slow
 def test_cli_run_and_analyze(tmp_path, capsys):
     rc = main([
         "run", "--scenario", "compare", "--cycles", "4", "--horizon", "8",
@@ -26,6 +28,7 @@ def test_cli_run_and_analyze(tmp_path, capsys):
     assert np.isfinite(row["velocity_mean"])
 
 
+@pytest.mark.slow
 def test_cli_compare(tmp_path, capsys):
     rc = main([
         "compare", "--scenarios", "compare", "--algorithms",

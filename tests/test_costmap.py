@@ -116,6 +116,7 @@ def test_propagation_tiny_sigma_is_identity_like():
 
 
 # --------------------------------------------------------------- full tick
+@pytest.mark.slow
 def test_build_local_costmap_pipeline(global_plan):
     # taller grid: the corridor-derived center sits ~2.6 m left of the lane
     # (8 m left / 4 m right corridor), so the map must span back to y~0
@@ -167,6 +168,7 @@ def test_corridor_geometry_moves_with_ego(global_plan):
     assert float(xl1) > 10.0 and float(yl1) >= 12.0
 
 
+@pytest.mark.slow
 def test_corridor_center_bounds_cover_route(global_plan):
     """The concrete center intervals cover every corridor geometry produced
     by egos scattered around the route (the full-stack batched scatter)."""
@@ -239,6 +241,7 @@ def test_sample_prior_pallas_matches_xla(global_plan, fused):
     np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
 
 
+@pytest.mark.slow
 def test_build_local_costmap_batched_sample_kernel_path(global_plan):
     """build_local_costmap_batched(global_res=...) (Pallas prior resample)
     vs the default vmapped-XLA path: identical pipelines."""

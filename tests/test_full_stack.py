@@ -10,6 +10,7 @@ from cilqr_tpu.ops import gridmap
 from cilqr_tpu.sim import plant, runner, scenarios
 from cilqr_tpu.utils import maps
 from cilqr_tpu.utils.params import CostmapParams, NoiseParams, SolverParams
+import pytest
 
 
 def test_synthetic_town_map(tmp_path):
@@ -57,6 +58,7 @@ def test_full_stack_closed_loop(global_plan):
     assert np.isfinite(np.asarray(rec["uncertainty_max"])).all()
 
 
+@pytest.mark.slow
 def test_full_stack_batched_matches_vmapped_single(global_plan):
     """closed_loop_full_stack_batched (batched Pallas propagation +
     hybrid mega solve) vs vmap of the per-scenario pipeline (f64 reference

@@ -21,6 +21,7 @@ from cilqr_tpu.models import (
     uncertainty as unc_mod,
 )
 from cilqr_tpu.ops import lm_pallas, riccati_pallas
+import pytest
 
 
 def _setup(params, global_plan, B, horizon=8, max_iterations=4, seed=61):
@@ -46,6 +47,7 @@ def _setup(params, global_plan, B, horizon=8, max_iterations=4, seed=61):
     return p, plan, n, egos, U0
 
 
+@pytest.mark.slow
 def test_mega_matches_vmap_path_full_world(params, global_plan):
     """Obstacles + uncertainty map: the complete in-kernel derivative stack."""
     B = riccati_pallas.TILE
@@ -76,6 +78,7 @@ def test_mega_matches_vmap_path_full_world(params, global_plan):
     np.testing.assert_allclose(np.asarray(got.J[:S]), np.asarray(want.J), rtol=1e-4)
 
 
+@pytest.mark.slow
 def test_mega_no_world_matches_vmap_path(params, global_plan):
     """Static switches: kernel specialized without obstacle/uncertainty code."""
     B = riccati_pallas.TILE
@@ -131,6 +134,7 @@ def test_prep_unc_map_corners_and_frame(params):
     np.testing.assert_allclose(s[6], 4.0, rtol=1e-6)  # 1/res
 
 
+@pytest.mark.slow
 def test_inkernel_loop_matches_per_iteration_form(params, global_plan):
     """The whole-LM-loop kernel (_opt_kernel) vs the one-kernel-call-per-
     iteration form with XLA accept/reject bookkeeping: identical iteration
@@ -148,6 +152,7 @@ def test_inkernel_loop_matches_per_iteration_form(params, global_plan):
         )
 
 
+@pytest.mark.slow
 def test_mega_arbitrary_batch_padding(params, global_plan):
     """Non-tile batch sizes pad internally and slice back."""
     B = 100

@@ -11,6 +11,7 @@ from cilqr_tpu.models import reference_path as rp
 from cilqr_tpu.ops import gridmap
 from cilqr_tpu.parallel import batch as pbatch, monte_carlo as mc, multihost
 from cilqr_tpu.utils.params import CostmapParams, SolverParams
+import pytest
 
 
 def _setup(params):
@@ -28,6 +29,7 @@ def _setup(params):
     return p, cp, prior, geom, plan, n, ego
 
 
+@pytest.mark.slow
 def test_sampled_covariances_vary_results(params):
     p, cp, prior, geom, plan, n, ego = _setup(params)
     key = jax.random.key(7)
@@ -47,6 +49,7 @@ def test_sampled_covariances_vary_results(params):
     assert np.std(U[:, 0, 0]) > 1e-6
 
 
+@pytest.mark.slow
 def test_sharded_monte_carlo_matches_vmap(params):
     p, cp, prior, geom, plan, n, ego = _setup(params)
     mesh = pbatch.make_mesh()
@@ -82,6 +85,7 @@ def test_multihost_helpers_single_process(params):
     assert d == {"mean_J": 1.0, "max_J": 2.0, "mean_iterations": 3.0, "converged_frac": 0.5}
 
 
+@pytest.mark.slow
 def test_fast_impl_matches_reference_impl(params):
     """Batched propagation kernel + world_batched two-phase solve vs the
     vmapped per-sample oracle (f32 propagation => 1e-3-level agreement)."""

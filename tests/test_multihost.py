@@ -26,6 +26,8 @@ import pytest
 
 from tests import _multihost_worker as worker
 
+pytestmark = pytest.mark.slow  # heavy tier: run with the full suite
+
 REPO = pathlib.Path(__file__).resolve().parent.parent
 
 

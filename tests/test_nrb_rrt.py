@@ -11,6 +11,7 @@ from cilqr_tpu.models import nrb_rrt, obstacles as obs_mod
 from cilqr_tpu.models import reference_path as rp
 from cilqr_tpu.sim import plant, runner, scenarios
 from cilqr_tpu.utils.params import NoiseParams, SolverParams
+import pytest
 
 
 def _world(p, global_plan, obs_x=112.0, obs_y=-305.8):
@@ -48,6 +49,7 @@ def test_plans_forward_and_clear(ego_state, global_plan):
     assert (np.abs(U[:, 1]) <= bound + 1e-9).all()
 
 
+@pytest.mark.slow
 def test_deterministic_given_state(ego_state, global_plan):
     """fold_in(ego bits) randomness: identical state -> identical plan."""
     p = dataclasses.replace(SolverParams(), horizon=20)

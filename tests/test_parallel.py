@@ -6,6 +6,7 @@ import numpy as np
 
 from cilqr_tpu.models import reference_path as rp, solver
 from cilqr_tpu.parallel import batch as pbatch
+import pytest
 
 
 def test_mesh_has_8_devices():
@@ -13,6 +14,7 @@ def test_mesh_has_8_devices():
     assert mesh.devices.size == 8
 
 
+@pytest.mark.slow
 def test_sharded_solve_matches_vmap(params, global_plan):
     mesh = pbatch.make_mesh()
     plan, n = rp.pad_global_plan(params, global_plan, dtype=jnp.float64)

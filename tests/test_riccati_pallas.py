@@ -8,8 +8,10 @@ import numpy as np
 
 from cilqr_tpu.models import costs as costs_mod, dynamics, reference_path as rp, solver
 from cilqr_tpu.ops import riccati_pallas
+import pytest
 
 
+@pytest.mark.slow
 def test_backward_kernel_matches_scan(params, global_plan):
     p = dataclasses.replace(params, horizon=12)
     B = riccati_pallas.TILE  # one tile

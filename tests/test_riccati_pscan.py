@@ -33,6 +33,7 @@ def _problem(p, ego, global_plan, with_obstacles=True):
 # N/lambda-independent so a denser grid only re-pays compile time
 @pytest.mark.parametrize("lamb", [1.0, 1e-4])
 @pytest.mark.parametrize("N", [13, 50])
+@pytest.mark.slow
 def test_pscan_matches_sequential_standard(ego_state, global_plan, N, lamb):
     """The associative algebra is exact: pscan == sequential oracle of the
     same textbook damped recursion, any lambda, machine precision."""
@@ -45,6 +46,7 @@ def test_pscan_matches_sequential_standard(ego_state, global_plan, N, lamb):
     np.testing.assert_allclose(np.asarray(K_p), np.asarray(K_s), rtol=1e-9, atol=1e-11)
 
 
+@pytest.mark.slow
 def test_pscan_approaches_reference_at_small_lambda(ego_state, global_plan):
     """lambda -> 0 is the regime where the reference's M Q_uu M sandwich
     equals the textbook M~ propagation: gains must converge."""

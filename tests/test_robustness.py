@@ -11,6 +11,7 @@ from cilqr_tpu.models import obstacles as obs_mod, reference_path as rp, solver
 from cilqr_tpu.ops import riccati_pallas
 from cilqr_tpu.sim import plant
 from cilqr_tpu.utils.params import NoiseParams
+import pytest
 
 
 def test_solver_survives_barrier_overflow(params, global_plan):
@@ -45,6 +46,7 @@ def test_solver_handles_two_point_plan(params):
     assert np.isfinite(np.asarray(res.U)).all()
 
 
+@pytest.mark.slow
 def test_closed_loop_batched(params, global_plan):
     p = dataclasses.replace(params, horizon=8, max_iterations=3,
                             num_of_local_wpts=8, closest_point_samples_per_wpt=5)

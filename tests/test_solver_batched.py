@@ -9,8 +9,10 @@ import numpy as np
 
 from cilqr_tpu.models import obstacles as obs_mod, reference_path as rp, solver, solver_batched
 from cilqr_tpu.ops import riccati_pallas
+import pytest
 
 
+@pytest.mark.slow
 def test_batched_solver_matches_vmap_path(params, global_plan):
     # sized for compile time: interpret-mode cost is trace+compile of the
     # unrolled iteration loop, not execution (see test_lm_pallas._setup)
@@ -44,6 +46,7 @@ def test_batched_solver_matches_vmap_path(params, global_plan):
     np.testing.assert_allclose(np.asarray(got.J[:S]), np.asarray(want.J), rtol=1e-4)
 
 
+@pytest.mark.slow
 def test_world_batched_obstacles_fall_back_to_two_phase(params, global_plan):
     """impl="mega" with PER-SCENARIO obstacle pytrees silently routes to the
     fully-batched two-phase pipeline (the mega kernel's obstacle payload is

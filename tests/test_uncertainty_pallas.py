@@ -11,6 +11,7 @@ from cilqr_tpu.utils.params import CostmapParams
 
 
 @pytest.mark.parametrize("yaw", [0.0, 2.1])
+@pytest.mark.slow
 def test_pallas_kernel_matches_xla_reference(yaw):
     cp = dataclasses.replace(
         CostmapParams(), rows=24, cols=16, window_radius=6,
@@ -52,6 +53,7 @@ def test_batched_kernel_matches_vmapped_reference():
     assert float(jnp.max(jnp.abs(got[0] - got[-1]))) > 1e-3
 
 
+@pytest.mark.slow
 def test_banded_kernel_bit_identical_to_full_window():
     """Row bands with per-band radii from make_band_plan reproduce the
     fixed-window kernel exactly (coverage => w=0 beyond the ellipse)."""
@@ -112,6 +114,7 @@ def test_per_scenario_prior_and_frame_matches_reference():
                                rtol=2e-5, atol=2e-4)
 
 
+@pytest.mark.slow
 def test_band_plan_bounds_bit_identical_over_center_interval():
     """Bounded band plan (per-scenario frames, the full-stack layout):
     bit-identical to the full-window kernel for every center inside the
@@ -153,6 +156,7 @@ def test_band_plan_bounds_bit_identical_over_center_interval():
     np.testing.assert_array_equal(np.asarray(banded), np.asarray(full))
 
 
+@pytest.mark.slow
 def test_fused_band_kernel_bit_identical_to_per_band_calls():
     """fuse_bands=True (one program per scenario, single max-radius pad)
     vs the per-band pallas_call loop: bit-identical on both the
