@@ -244,6 +244,22 @@ def _cmd_sweep(args) -> int:
         scenario, plan = _sc.rotate_scenario(
             _sc.make_gauntlet(), _sc.plan_for("compare"),
             float(_np.deg2rad(args.rotate)))
+    if args.free_prior or (args.rotate and args.map is None):
+        # A FREE global prior: the gauntlet's hazards enter through the bbox
+        # rasterization channel (the ablation's information asymmetry), and
+        # a rotated corridor would otherwise cut diagonally through the
+        # synthetic town's buildings — phantom prior occupancy the SAT
+        # ground truth knows nothing about, which poisons the aware
+        # planner's column only (measured: 20/20 collisions from dodging
+        # buildings that are not there).  Rotated and unrotated runs meant
+        # for orientation comparison must BOTH use --free-prior.
+        import jax.numpy as _jnp
+
+        from cilqr_tpu.ops import gridmap as _gridmap
+
+        gm = _jnp.zeros((512, 512), _jnp.float32)
+        gg = _gridmap.make_geom([115.0, -285.0], 0.5, 512, 512,
+                                dtype=_jnp.float32)
     rows = sweep_mod.run_sigma_sweep(
         [float(s) for s in args.sigmas.split(",")],
         algorithms=tuple(args.algorithms.split(",")),
@@ -258,6 +274,12 @@ def _cmd_sweep(args) -> int:
     (out_dir / "sweep.md").write_text(sweep_mod.format_table(rows) + "\n")
     print(sweep_mod.format_table(rows))
     return 0
+
+
+def sweep_mod_algorithms():
+    from cilqr_tpu.sim.sweep import SWEEP_ALGORITHMS
+
+    return SWEEP_ALGORITHMS
 
 
 def main(argv=None) -> int:
@@ -336,11 +358,13 @@ def main(argv=None) -> int:
         "sweep",
         help="sigma-sweep campaign on the gauntlet scenario (uncertainty "
              "term ablation: cilqr vs cilqr_base, frenet ablations)")
-    s.add_argument("--sigmas", default="0.0,0.2,0.35,0.5",
+    s.add_argument("--sigmas", default="0.0,0.125,0.25,0.375,0.5",
                    help="comma-separated sigma_xy grid [m]")
     s.add_argument(
         "--algorithms",
-        default="cilqr,cilqr_base,frenet_origin,frenet_propagation")
+        default=",".join(sweep_mod_algorithms()),
+        help="comma-separated subset of sim.sweep.SWEEP_ALGORITHMS "
+             "(default: the full batch_dataprocess.py:458-463 axis)")
     s.add_argument("--runs", type=int, default=10)
     s.add_argument("--cycles", type=int, default=160)
     s.add_argument("--horizon", type=int, default=40)
@@ -348,8 +372,11 @@ def main(argv=None) -> int:
     s.add_argument("--w-uncertainty", type=float, default=5.0,
                    help="w_uncertainty for the aware planner (the launch-"
                         "file rosparam knob, Experiment.launch:11)")
-    s.add_argument("--sigma-theta-ratio", type=float, default=0.2,
-                   help="sigma_theta = ratio * sigma_xy")
+    s.add_argument("--sigma-theta-ratio", type=float, default=0.017 / 0.16,
+                   help="sigma_theta = ratio * sigma_xy (default: the "
+                        "Experiment.launch:7-12 design ratio 0.017/0.16; "
+                        "larger ratios blow up the propagation window "
+                        "radius via the lever-arm term)")
     s.add_argument("--no-pallas", action="store_true",
                    help="XLA reference propagation (CPU-friendly)")
     s.add_argument("--map", default=None, metavar="YAML",
@@ -357,7 +384,12 @@ def main(argv=None) -> int:
                         "synthetic Town02-style map)")
     s.add_argument("--rotate", type=float, default=0.0, metavar="DEG",
                    help="rotate the whole gauntlet + route by DEG degrees "
-                        "(proves the separation is not axis-aligned)")
+                        "(proves the separation is not axis-aligned); "
+                        "implies --free-prior unless --map is given")
+    s.add_argument("--free-prior", action="store_true",
+                   help="all-free global prior (hazards enter via the bbox "
+                        "channel only) — required for orientation-"
+                        "comparison pairs")
     s.add_argument("--out", default="/tmp/cilqr_sweep")
     s.set_defaults(fn=_cmd_sweep)
 

@@ -302,29 +302,46 @@ def cell_sigma_rho(
     Mirrors ``uncertainty_error_functor`` (ARBIT.cuh:51-69): the pose
     uncertainty (sigma_x, sigma_y, sigma_theta) of the ego maps to a
     cell-dependent 2D position covariance growing with lever arm |cell|:
-    for p = R(yaw) C + v the theta-Jacobian is g = (-s Cx - c Cy, c Cx - s Cy)
-    and cov = diag(sigma_x^2, sigma_y^2) + sigma_theta^2 g g^T.  The
-    reference's diagonal terms match g exactly (u = g1^2, v = g2^2,
-    ARBIT.cuh:60-61) but its cross term t (ARBIT.cuh:62-63) flips the sign of
-    the s*c*(Cx^2-Cy^2) contribution relative to g1*g2 — a sign defect that
-    makes |rho| exceed 1 at some yaws (non-PSD "covariance" -> NaN ellipse in
-    the C++).  Default: the correct PSD cross term.  ``faithful=True``
-    reproduces the reference formula bit-for-bit for parity studies; callers
-    must then guard |rho| >= 1 cells (we fall back to the prior, matching the
-    count==0 branch at local_costmap.cpp:489-496 / arbitrary_transformation.cu:
-    the NaN footprint contributes nothing).
+    for p = R(yaw) C + v the theta-Jacobian in the GLOBAL frame is
+    g_g = (-s Cx - c Cy, c Cx - s Cy) and cov_g = diag(sigma_x^2,
+    sigma_y^2) + sigma_theta^2 g_g g_g^T.
+
+    FRAME CORRECTION (default path): the reference's grid_map grids are
+    axis-aligned to the global frame, so applying cov_g to ITS cell offsets
+    is self-consistent.  THIS framework's static corridor grid rotates
+    with the vehicle (ARCHITECTURE §1 rule 3), and the propagation weights
+    MAP-frame offsets — the covariance must live in the map frame:
+    cov_m = R(-yaw) cov_g R(yaw), whose lever vector is R(-yaw) g_g =
+    R'(0) C = (-Cy, Cx), yaw-independent (the positional diag part is
+    isotropic in every supported configuration, sigma_x == sigma_y up to
+    the launch defaults, so it needs no rotation).  Carrying the
+    global-frame g into the rotated grid mis-rotates every smear ellipse
+    by -yaw — invisible at yaw ~ 0 (all axis-aligned scenarios) and first
+    caught by the rotated-gauntlet production sweep (docs/BASELINES.md),
+    where it flipped the uncertainty-aware planner's collision column.
+
+    ``faithful=True`` reproduces the reference formula bit-for-bit for
+    parity studies — the global-frame lever (correct for ITS axis-aligned
+    grid) AND its cross-term sign defect (ARBIT.cuh:62-63 flips the sign
+    of the s*c*(Cx^2-Cy^2) contribution relative to g1*g2, making |rho|
+    exceed 1 at some yaws; non-PSD "covariance" -> NaN ellipse in the
+    C++).  Callers must then guard |rho| >= 1 cells (we fall back to the
+    prior, matching the count==0 branch at local_costmap.cpp:489-496).
     """
-    s, c = jnp.sin(ego_yaw), jnp.cos(ego_yaw)
     Cx = xs[:, None]
     Cy = ys[None, :]
-    g1 = -s * Cx - c * Cy
-    g2 = c * Cx - s * Cy
-    u = g1 * g1
-    v = g2 * g2
     if faithful:
+        s, c = jnp.sin(ego_yaw), jnp.cos(ego_yaw)
+        g1 = -s * Cx - c * Cy
+        g2 = c * Cx - s * Cy
         t = s * c * (Cx * Cx - Cy * Cy) + Cx * Cy * (s * s - c * c)
     else:
+        # map-frame lever R(-yaw) g_g = (-Cy, Cx): yaw-free
+        g1 = -Cy + 0.0 * Cx  # broadcast to (rows, cols)
+        g2 = Cx + 0.0 * Cy
         t = g1 * g2
+    u = g1 * g1
+    v = g2 * g2
     if sigmas is None:
         s_x, s_y, s_t = cp.sigma_x, cp.sigma_y, cp.sigma_theta
     else:

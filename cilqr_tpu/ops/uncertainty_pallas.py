@@ -34,9 +34,16 @@ from cilqr_tpu.ops import costmap as costmap_mod
 from cilqr_tpu.ops import gridmap
 from cilqr_tpu.utils.params import CostmapParams
 
-# row-offset static-unroll ceiling: windows larger than this many offsets
-# keep the fori_loop (compile time of the unrolled body grows with area)
-_UNROLL_MAX_OFFSETS = 4096
+# Row-offset static-unroll ceiling: windows larger than this many offsets
+# keep the fori_loop (compile time of the unrolled body grows with area).
+# 5200 admits the production sigma-sweep's largest band (R=34 -> 4761
+# square offsets, ~3/4 of them disc-cut away) at the reference experiment's
+# sigma_theta/sigma_xy ratio (Experiment.launch:7-12 -> 0.017/0.16).
+# NOTE: under vmap / batched (rank-3) refs the fori_loop fallback CANNOT
+# lower (Mosaic requires provably 8-aligned dynamic sublane starts);
+# propagate_uncertainty_tpu_banded raises a shaped error instead of
+# letting Mosaic ICE — shrink sigma_theta or coarsen the resolution.
+_UNROLL_MAX_OFFSETS = 5200
 
 
 def _accumulate(R: int, res: float, chi2: float, rows: int, cols: int,
@@ -474,8 +481,24 @@ def propagate_uncertainty_tpu_banded(
 
     def band_unroll_of(Rb):
         if unroll_rows is None:
-            return not interpret and (2 * Rb + 1) ** 2 <= _UNROLL_MAX_OFFSETS
-        return bool(unroll_rows)
+            un = not interpret and (2 * Rb + 1) ** 2 <= _UNROLL_MAX_OFFSETS
+        else:
+            un = bool(unroll_rows)
+        if not un and not interpret:
+            # The dynamic-row fallback needs a dynamic sublane-dim slice
+            # start, which Mosaic can only lower for rank-2 refs; batched
+            # (rank-3) refs would die inside Mosaic with an unprovable-
+            # alignment ICE.  Fail at trace time with an actionable message.
+            raise ValueError(
+                f"propagation band radius {Rb} gives a "
+                f"{(2 * Rb + 1) ** 2}-offset window above the static-unroll "
+                f"ceiling ({_UNROLL_MAX_OFFSETS}); the compiled batched "
+                "kernel cannot take the dynamic-row path. Reduce "
+                "sigma_theta (the lever-arm term dominates the radius), "
+                "coarsen the map resolution, or raise _UNROLL_MAX_OFFSETS "
+                "(compile time grows with window area)."
+            )
+        return un
 
     if fuse_bands:
         # one program per scenario covering every band: one max-radius

@@ -20,6 +20,17 @@ algorithm (window radius bucketed to the sweep's largest sigma), then every
 grid point is a data-only dispatch.  A 10-sigma x 6-algorithm production
 grid compiles 6 programs, not 60.
 
+Propagation-path choice: at serving sigmas (<= the Experiment.launch
+0.16/0.017 scale) the banded Pallas kernel is the fast path
+(use_pallas=True); a HIGH-sigma sweep (0.5 m at production 0.2 m
+resolution) needs window radii whose statically-unrolled Mosaic module
+compiles pathologically slowly (> 30 min), while the XLA reference
+propagation compiles its one fori_loop body instantly and runs the whole
+5-sigma x 6-algorithm production grid in ~9 min on one v5e chip — pass
+``use_pallas=False`` for offline experiment tables (the CLI `sweep
+--no-pallas`).  Both paths are numerically locked (bit-identity tests in
+test_uncertainty_pallas.py).
+
 Outputs per (sigma, algorithm): collision-run count, min wall clearance,
 min obstacle distance, mean speed — the batch_dataprocess.py metric set
 plus the wall-clearance column the walled scenario adds.

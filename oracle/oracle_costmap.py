@@ -47,10 +47,14 @@ def propagate(
 ) -> np.ndarray:
     """Exact EllipseIterator-style propagation (float64).
 
-    ``faithful_rho=True`` uses the reference's cross-term formula
-    (ARBIT.cuh:62-63) which is non-PSD at some yaws; those cells fall back to
-    the prior (matching the empty-footprint branch).  Default uses the
-    correct Jacobian cross term — see cilqr_tpu/ops/costmap.cell_sigma_rho.
+    ``faithful_rho=True`` uses the reference's formula verbatim — the
+    GLOBAL-frame lever vector (correct for grid_map's globally axis-aligned
+    grids) and the cross-term sign defect (ARBIT.cuh:62-63), which is
+    non-PSD at some yaws; those cells fall back to the prior (matching the
+    empty-footprint branch).  Default mirrors the framework's corrected
+    map-frame form — the vehicle-rotated grid's lever is R(-yaw) g_g =
+    (-Cy, Cx), yaw-free — see cilqr_tpu/ops/costmap.cell_sigma_rho's
+    FRAME CORRECTION note.
     """
     rows, cols = prior.shape
     res = cp.resolution
@@ -62,13 +66,14 @@ def propagate(
     for i in range(rows):
         for j in range(cols):
             Cx, Cy = xs[i], ys[j]
-            g1 = -s * Cx - c * Cy
-            g2 = c * Cx - s * Cy
-            u, v = g1 * g1, g2 * g2
             if faithful_rho:
+                g1 = -s * Cx - c * Cy
+                g2 = c * Cx - s * Cy
                 t = s * c * (Cx * Cx - Cy * Cy) + Cx * Cy * (s * s - c * c)
             else:
+                g1, g2 = -Cy, Cx
                 t = g1 * g2
+            u, v = g1 * g1, g2 * g2
             sx = np.sqrt(cp.sigma_x**2 + cp.sigma_theta**2 * u)
             sy = np.sqrt(cp.sigma_y**2 + cp.sigma_theta**2 * v)
             rho = cp.sigma_theta**2 * t / (sx * sy)
