@@ -34,16 +34,15 @@ from cilqr_tpu.ops import costmap as costmap_mod
 from cilqr_tpu.ops import gridmap
 from cilqr_tpu.utils.params import CostmapParams
 
-# Row-offset static-unroll ceiling: windows larger than this many offsets
-# keep the fori_loop (compile time of the unrolled body grows with area).
-# 5200 admits the production sigma-sweep's largest band (R=34 -> 4761
-# square offsets, ~3/4 of them disc-cut away) at the reference experiment's
-# sigma_theta/sigma_xy ratio (Experiment.launch:7-12 -> 0.017/0.16).
-# NOTE: under vmap / batched (rank-3) refs the fori_loop fallback CANNOT
-# lower (Mosaic requires provably 8-aligned dynamic sublane starts);
-# propagate_uncertainty_tpu_banded raises a shaped error instead of
-# letting Mosaic ICE — shrink sigma_theta or coarsen the resolution.
-_UNROLL_MAX_OFFSETS = 5200
+# Row-offset static-unroll ceiling: windows up to this many offsets unroll
+# the row loop statically (every prior slice a compile-time VMEM address —
+# the serving fast path, ~5x the dynamic form at full-stack geometry).
+# ABOVE the ceiling, compiled batched kernels switch to the ALIGNED-GROUP
+# row loop (see _accumulate's "aligned" mode): Mosaic cannot lower plain
+# dynamic sublane starts for rank-3 refs, and a mega-unroll's compile time
+# grows superlinearly with window area (measured: the R=62 production-sweep
+# band ground the remote Mosaic compile > 30 min unrolled vs 65 s aligned).
+_UNROLL_MAX_OFFSETS = 4096
 
 
 def _accumulate(R: int, res: float, chi2: float, rows: int, cols: int,
@@ -113,7 +112,8 @@ def _accumulate(R: int, res: float, chi2: float, rows: int, cols: int,
         zy2 = zy * zy
         col_ok = (col_id + (dj - R) >= 0) & (col_id + (dj - R) < cols)
 
-        def body(di, acc, t2=t2, zy2=zy2, col_ok=col_ok, dj=dj):
+        def body(di, acc, p_j=None, di_window=None,
+                 t2=t2, zy2=zy2, col_ok=col_ok, dj=dj):
             num, den = acc
             # neighbor j at index offset (di-R, dj-R) -> position offset
             # (-(di-R)*res, -(dj-R)*res)
@@ -121,24 +121,60 @@ def _accumulate(R: int, res: float, chi2: float, rows: int, cols: int,
             dx = -jnp.float32(dif) * res if isinstance(di, int) else (
                 -(dif).astype(jnp.float32) * res
             )
-            if prior_pad_ref.ndim == 3:  # per-scenario prior block (1, ., .)
-                p_j = prior_pad_ref[
-                    0, pl.ds(di + row0 + pad_off, rows),
-                    dj + pad_off : dj + pad_off + cols,
-                ]
-            else:
-                p_j = prior_pad_ref[
-                    pl.ds(di + row0 + pad_off, rows),
-                    dj + pad_off : dj + pad_off + cols,
-                ]
+            if p_j is None:
+                if prior_pad_ref.ndim == 3:  # per-scenario prior block (1,.,.)
+                    p_j = prior_pad_ref[
+                        0, pl.ds(di + row0 + pad_off, rows),
+                        dj + pad_off : dj + pad_off + cols,
+                    ]
+                else:
+                    p_j = prior_pad_ref[
+                        pl.ds(di + row0 + pad_off, rows),
+                        dj + pad_off : dj + pad_off + cols,
+                    ]
             in_map = col_ok & (dif >= row_lo) & (dif < row_hi)
+            if di_window is not None:
+                in_map = in_map & di_window
             zx = dx * inv_sx
             q = (zx - t2) * zx + zy2
             f = jnp.exp(-q * inv_det2)
             w = jnp.where((q <= thresh) & in_map, f, 0.0)
             return (num + w * p_j, den + w)
 
-        if unroll_rows:
+        if unroll_rows == "aligned":
+            # Dynamic di for batched (rank-3) refs: Mosaic only lowers
+            # dynamic SUBLANE slice starts it can prove 8-aligned, so the
+            # row loop walks aligned groups of 8 — one provably-aligned
+            # (pl.multiple_of) load of rows+8 sublanes per group, then 8
+            # STATIC value sub-slices (sublane shifts), with the di range
+            # enforced as a runtime mask.  Same offsets, same arithmetic,
+            # bit-identical to the unrolled path; module size is ~8 bodies
+            # per column instead of one per window row (compiles at any
+            # radius).  Caller must bottom-pad the prior by _ALIGN_EXTRA.
+            C = row0 + pad_off
+            RE = ((rows + 8) + 7) // 8 * 8
+            g_lo = (di_lo + C) // 8
+            g_hi = (di_hi - 1 + C) // 8 + 1
+
+            def gbody(g, acc, dj=dj, body=body):
+                base = pl.multiple_of(g * 8, 8)
+                if prior_pad_ref.ndim == 3:
+                    block = prior_pad_ref[
+                        0, pl.ds(base, RE), dj + pad_off : dj + pad_off + cols
+                    ]
+                else:
+                    block = prior_pad_ref[
+                        pl.ds(base, RE), dj + pad_off : dj + pad_off + cols
+                    ]
+                for r in range(8):
+                    di = g * 8 + r - C
+                    win = (di >= di_lo) & (di < di_hi)
+                    p_j = jax.lax.slice_in_dim(block, r, r + rows, axis=0)
+                    acc = body(di, acc, p_j=p_j, di_window=win)
+                return acc
+
+            num, den = jax.lax.fori_loop(g_lo, g_hi, gbody, (num, den))
+        elif unroll_rows:
             # static di: every prior slice is a compile-time VMEM address
             # (no dynamic sublane shift per offset)
             for di in range(di_lo, di_hi):
@@ -146,6 +182,11 @@ def _accumulate(R: int, res: float, chi2: float, rows: int, cols: int,
         else:
             num, den = jax.lax.fori_loop(di_lo, di_hi, body, (num, den))
     return num, den
+
+
+#: extra bottom-row padding (sublanes) the aligned-group row loop may
+#: physically read past the last logical window row (masked to w = 0)
+_ALIGN_EXTRA = 16
 
 
 def _finish(num, den, psd, prior):
@@ -156,12 +197,13 @@ def _finish(num, den, psd, prior):
 
 
 def _kernel(R: int, res: float, chi2: float, rows: int, cols: int,
-            prior_pad_ref, sx_ref, sy_ref, rho_ref, psd_ref, prior_ref, out_ref):
-    # static row unroll under the same ceiling as the banded kernels: under
+            unroll, prior_pad_ref, sx_ref, sy_ref, rho_ref, psd_ref,
+            prior_ref, out_ref):
+    # Static row unroll under the same ceiling as the banded kernels: under
     # vmap the refs become rank-3, where Mosaic cannot lower a *dynamic*
     # sublane (dim 1) slice start — every offset must be a compile-time
-    # address (the dynamic fori_loop only lowers for rank-2 refs)
-    unroll = (2 * R + 1) ** 2 <= _UNROLL_MAX_OFFSETS
+    # address; above the ceiling the aligned-group row loop takes over
+    # (see _accumulate's "aligned" mode).
     num, den = _accumulate(R, res, chi2, rows, cols, prior_pad_ref,
                            sx_ref[:], sy_ref[:], rho_ref[:],
                            unroll_rows=unroll)
@@ -178,10 +220,18 @@ def _propagate(cp: CostmapParams, prior, xs, ys, faithful_rho: bool, interpret: 
         cp, xs, ys, ego_yaw, faithful=faithful_rho, sigmas=sigmas)
     psd = (jnp.abs(rho) < 1.0).astype(jnp.float32)
     rho = jnp.where(psd > 0, rho, 0.0).astype(jnp.float32)
-    prior_pad = jnp.pad(prior32, R)
+    if interpret:
+        unroll = False
+    elif (2 * R + 1) ** 2 <= _UNROLL_MAX_OFFSETS:
+        unroll = True
+    else:
+        unroll = "aligned"
+    extra = _ALIGN_EXTRA if unroll == "aligned" else 0
+    prior_pad = jnp.pad(prior32, ((R, R + extra), (R, R)))
 
     kern = functools.partial(
-        _kernel, R, float(cp.resolution), float(cp.chisquare_val**2), rows, cols
+        _kernel, R, float(cp.resolution), float(cp.chisquare_val**2), rows,
+        cols, unroll,
     )
     flops = (2 * R + 1) ** 2 * rows * cols * 12
     out = pl.pallas_call(
@@ -209,21 +259,25 @@ def propagate_uncertainty_tpu(
     geom: gridmap.GridGeom,
     ego_yaw: jax.Array,
     faithful_rho: bool = False,
-    interpret: bool = False,
+    interpret=None,
     sigmas=None,
 ) -> jax.Array:
     """Drop-in fast path for ``costmap.propagate_uncertainty_reference``.
 
-    ``interpret=True`` runs the Pallas interpreter (for CPU tests).
+    ``interpret``: None (default) auto-selects the Pallas interpreter on the
+    CPU backend (tests / CLI runs off-chip), compiled on TPU; pass
+    True/False to force.
     ``sigmas`` (3,) overrides the configured (sigma_x, sigma_y, sigma_theta)
     as a TRACED value — the sigma-sweep compiles ONE program per algorithm
     and feeds each grid point's sigmas as data; the static
     ``cp.window_radius`` must be sized for the sweep's largest sigma
     (``costmap.required_window_radius``)."""
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
     rows, cols = prior.shape
     xs, ys = gridmap.cell_positions(geom, rows, cols)
-    return _propagate(cp, prior, xs, ys, faithful_rho, interpret, ego_yaw,
-                      sigmas=sigmas)
+    return _propagate(cp, prior, xs, ys, faithful_rho, bool(interpret),
+                      ego_yaw, sigmas=sigmas)
 
 
 def _kernel_band(R: int, res: float, chi2: float, band_rows: int, cols: int,
@@ -480,36 +534,32 @@ def propagate_uncertainty_tpu_banded(
     B = sxb.shape[0]
 
     def band_unroll_of(Rb):
-        if unroll_rows is None:
-            un = not interpret and (2 * Rb + 1) ** 2 <= _UNROLL_MAX_OFFSETS
-        else:
-            un = bool(unroll_rows)
-        if not un and not interpret:
-            # The dynamic-row fallback needs a dynamic sublane-dim slice
-            # start, which Mosaic can only lower for rank-2 refs; batched
-            # (rank-3) refs would die inside Mosaic with an unprovable-
-            # alignment ICE.  Fail at trace time with an actionable message.
-            raise ValueError(
-                f"propagation band radius {Rb} gives a "
-                f"{(2 * Rb + 1) ** 2}-offset window above the static-unroll "
-                f"ceiling ({_UNROLL_MAX_OFFSETS}); the compiled batched "
-                "kernel cannot take the dynamic-row path. Reduce "
-                "sigma_theta (the lever-arm term dominates the radius), "
-                "coarsen the map resolution, or raise _UNROLL_MAX_OFFSETS "
-                "(compile time grows with window area)."
-            )
-        return un
+        if unroll_rows is not None:
+            return unroll_rows  # caller forces a mode (tests)
+        if interpret:
+            return False  # plain fori: fastest to trace in the interpreter
+        if (2 * Rb + 1) ** 2 <= _UNROLL_MAX_OFFSETS:
+            return True
+        # Oversized window: the plain dynamic-row fori cannot lower for
+        # batched (rank-3) refs (Mosaic needs provably 8-aligned dynamic
+        # sublane starts) and the static unroll would take unbounded
+        # compile time — use the aligned-group row loop (_accumulate's
+        # "aligned" mode): any radius, ~8-body module per column.
+        return "aligned"
 
     if fuse_bands:
         # one program per scenario covering every band: one max-radius
         # padded prior (instead of one padded copy per band) and
         # 1/len(bands) the grid dispatches
         P = max(Rb for (_, _, Rb) in bands)
-        if prior_batched:
-            prior_pad = jnp.pad(prior32, ((0, 0), (P, P), (P, P)))
-        else:
-            prior_pad = jnp.pad(prior32, P)
         unrolls = tuple(band_unroll_of(Rb) for (_, _, Rb) in bands)
+        # the aligned-group row loop may physically read a few masked rows
+        # past the last window row — give it real (zero) storage
+        extra = _ALIGN_EXTRA if any(u == "aligned" for u in unrolls) else 0
+        if prior_batched:
+            prior_pad = jnp.pad(prior32, ((0, 0), (P, P + extra), (P, P)))
+        else:
+            prior_pad = jnp.pad(prior32, ((P, P + extra), (P, P)))
         kern = functools.partial(
             _kernel_bands_fused, float(cp.resolution),
             float(cp.chisquare_val**2), cols, rows,
@@ -552,10 +602,11 @@ def propagate_uncertainty_tpu_banded(
     outs = []
     for (r0, br, Rb), r_disc in zip(bands, disc_radii):
         band_unroll = band_unroll_of(Rb)
+        extra = _ALIGN_EXTRA if band_unroll == "aligned" else 0
         if prior_batched:
-            prior_pad = jnp.pad(prior32, ((0, 0), (Rb, Rb), (Rb, Rb)))
+            prior_pad = jnp.pad(prior32, ((0, 0), (Rb, Rb + extra), (Rb, Rb)))
         else:
-            prior_pad = jnp.pad(prior32, Rb)
+            prior_pad = jnp.pad(prior32, ((Rb, Rb + extra), (Rb, Rb)))
         kern = functools.partial(
             _kernel_band, Rb, float(cp.resolution),
             float(cp.chisquare_val**2), br, cols, r0, rows,

@@ -22,13 +22,14 @@ grid compiles 6 programs, not 60.
 
 Propagation-path choice: at serving sigmas (<= the Experiment.launch
 0.16/0.017 scale) the banded Pallas kernel is the fast path
-(use_pallas=True); a HIGH-sigma sweep (0.5 m at production 0.2 m
-resolution) needs window radii whose statically-unrolled Mosaic module
-compiles pathologically slowly (> 30 min), while the XLA reference
-propagation compiles its one fori_loop body instantly and runs the whole
-5-sigma x 6-algorithm production grid in ~9 min on one v5e chip — pass
-``use_pallas=False`` for offline experiment tables (the CLI `sweep
---no-pallas`).  Both paths are numerically locked (bit-identity tests in
+(use_pallas=True).  HIGH-sigma windows above the static-unroll ceiling
+route through the kernel's aligned-group row loop (any radius, ~65 s
+compile at the worst production band vs an unbounded unrolled compile);
+the published offline tables use ``use_pallas=False`` (the CLI `sweep
+--no-pallas`) — the XLA fori propagation compiles instantly, runs the
+whole 5-sigma x 6-algorithm production grid in ~9 min on one v5e chip,
+and pins the exact summation order the tables were produced with.  Both
+paths are numerically locked (bit-identity tests in
 test_uncertainty_pallas.py).
 
 Outputs per (sigma, algorithm): collision-run count, min wall clearance,

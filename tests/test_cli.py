@@ -42,3 +42,41 @@ def test_cli_compare(tmp_path, capsys):
         assert "collision_runs" in v and np.isfinite(v["velocity_mean"])
     text = (tmp_path / "comparison.csv").read_text()
     assert "frenet_origin" in text
+
+
+@pytest.mark.slow
+def test_cli_run_with_map(tmp_path, capsys):
+    """--map: real map_server YAML drives the per-cycle costmap pipeline
+    (the Town02.yaml drop-in path); costmap_time is recorded separately
+    from planning_time."""
+    from cilqr_tpu.utils import maps
+
+    yaml = maps.make_synthetic_town(str(tmp_path / "town_src"))
+    rc = main([
+        "run", "--scenario", "compare", "--cycles", "4", "--horizon", "8",
+        "--out", str(tmp_path), "--x0", "60.0", "--map", yaml,
+    ])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out)
+    assert out["cycles"] == 4
+
+    from cilqr_tpu.utils import explog
+
+    data = explog.read_experiment_log(str(tmp_path / "experiment.log"))
+    assert data["start_pos"].shape[0] == 4
+
+
+@pytest.mark.slow
+def test_cli_sweep_rotated_free_prior(tmp_path, capsys):
+    """sweep --rotate implies the free prior and produces finite rows with
+    the rotated OBB clearance column."""
+    rc = main([
+        "sweep", "--sigmas", "0.3", "--algorithms", "cilqr_base",
+        "--runs", "2", "--cycles", "20", "--horizon", "8",
+        "--rotate", "25", "--no-pallas", "--out", str(tmp_path),
+    ])
+    assert rc == 0
+    rows = json.loads((tmp_path / "sweep.json").read_text())
+    assert len(rows) == 1 and rows[0]["algorithm"] == "cilqr_base"
+    assert np.isfinite(rows[0]["min_wall_clearance"])
+    assert np.isfinite(rows[0]["velocity_mean"])

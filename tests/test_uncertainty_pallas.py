@@ -224,3 +224,34 @@ def test_band_plan_bounds_radii_cover_required():
                               + sigma_hi[2] ** 2 * lever ** 2) / res
                 )
                 assert R >= need, (cx, cy, r0, R, need)
+
+
+def test_aligned_row_loop_bit_identical():
+    """The aligned-group dynamic-row mode (the compiled path for windows
+    above the static-unroll ceiling — Mosaic cannot lower plain dynamic
+    sublane starts for batched refs) applies EXACTLY the same offsets with
+    the same arithmetic as the plain fori form: bit-identical, fused and
+    per-band, across sigmas/yaws."""
+    cp = dataclasses.replace(
+        CostmapParams(), rows=48, cols=40, resolution=0.3,
+        sigma_x=0.3, sigma_y=0.3, sigma_theta=0.05, window_radius=9)
+    rng = np.random.default_rng(3)
+    B = 3
+    prior = jnp.asarray(rng.uniform(0, 100, (B, cp.rows, cp.cols)), jnp.float32)
+    g1 = gridmap.make_geom((5.0, 1.0), cp.resolution, cp.rows, cp.cols,
+                           dtype=jnp.float32)
+    import jax
+
+    geom = jax.tree.map(lambda a: jnp.broadcast_to(a, (B,) + a.shape), g1)
+    yaws = jnp.asarray(rng.uniform(-1, 1, (B,)), jnp.float32)
+    sig = jnp.asarray(rng.uniform(0.05, 0.3, (B, 3)), jnp.float32)
+    plan = uncertainty_pallas.BandPlan(
+        ((0, 24, 9), (24, 24, 7)), None, disc_radii=(8.5, 6.9))
+
+    ref = uncertainty_pallas.propagate_uncertainty_tpu_banded(
+        cp, prior, geom, yaws, sig, plan, interpret=True, unroll_rows=False)
+    for fuse in (True, False):
+        aligned = uncertainty_pallas.propagate_uncertainty_tpu_banded(
+            cp, prior, geom, yaws, sig, plan, interpret=True,
+            unroll_rows="aligned", fuse_bands=fuse)
+        np.testing.assert_array_equal(np.asarray(aligned), np.asarray(ref))
