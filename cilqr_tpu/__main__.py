@@ -231,7 +231,11 @@ def _cmd_sweep(args) -> int:
     from cilqr_tpu.utils.params import SolverParams
 
     p = dataclasses.replace(
-        SolverParams(), horizon=args.horizon, w_uncertainty=args.w_uncertainty)
+        SolverParams(), horizon=args.horizon, w_uncertainty=args.w_uncertainty,
+        # the global y(x) polyfit basis is rank-deficient for steep routes
+        # (reference_path.py); rotated courses past ~40 degrees need the
+        # chord-aligned fit
+        chord_frame_fit=abs(args.rotate) > 40.0)
     gm = gg = None
     if args.map is not None:
         gm, gg = _load_global_map(args.map)

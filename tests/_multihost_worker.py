@@ -129,6 +129,39 @@ def main():
         resume=False,
     )
     (out / f"campaign_{pid}.json").write_text(json.dumps(summary))
+
+    # ---- sharded FULL-STACK loop: per-cycle per-scenario costmap rebuild
+    # + perception channel under the 2-process mesh (the newest pipeline —
+    # each shard folds its mesh position into the key, so the parent test
+    # reproduces ground truth per quarter with fold_in(key, i)) ----
+    from cilqr_tpu.ops import gridmap as gm_mod
+    from cilqr_tpu.sim import perception, scenarios
+    from cilqr_tpu.sim.runner import build_scenario_inputs
+
+    sc = scenarios.get_scenario("success1")
+    ob, obs_xyyaw, obs_size, obs_mask = build_scenario_inputs(
+        p, sc, jnp.float32)
+    gmap = jnp.zeros((32, 32), jnp.float32)
+    ggeom = gm_mod.make_geom([100.0, -300.0], 2.0, 32, 32, dtype=jnp.float32)
+    percept = perception.PerceptionSim(
+        0, jnp.asarray([0.5, 0.0], jnp.float32), bbox_sigma=0.0)
+    fs_fn, _ = pbatch.make_sharded_full_stack(
+        p, cp, mesh, n_cycles=2, obstacles=ob,
+        obs_xyyaw=obs_xyyaw, obs_size=obs_size, obs_mask=obs_mask,
+        percept=percept,
+    )
+    x0s = (np.asarray(sc.start)[None, :]
+           + np.random.default_rng(13).normal(0, 0.2, (B, 4))
+           ).astype(np.float32)
+    x0_sh = multihost.scatter_local(mesh, x0s[lo:lo + b])
+    xf, rec, fsum = fs_fn(gmap, ggeom, plan32, n32, x0_sh, jax.random.key(5))
+    xf_shards = sorted(xf.addressable_shards, key=lambda s: s.index[0].start)
+    np.savez(
+        out / f"fullstack_{pid}.npz",
+        xf=np.concatenate([np.asarray(s.data) for s in xf_shards]),
+        starts=np.asarray([s.index[0].start for s in xf_shards]),
+        mean_J=float(fsum[0]), collision_frac=float(fsum[1]),
+    )
     print(f"worker {pid} OK", flush=True)
 
 

@@ -149,3 +149,65 @@ def test_two_process_campaign_matches_single_process(worker_outputs, tmp_path):
     assert merged["rounds"] == 4  # rows: 2 shards x 2 rounds
     assert merged["solves"] == 32
     np.testing.assert_allclose(merged["mean_J"], ref["mean_J"], rtol=1e-5)
+
+
+def test_two_process_full_stack_matches_single_process(worker_outputs):
+    """The sharded COMPLETE pipeline (per-cycle per-scenario costmaps +
+    perception channel, make_sharded_full_stack) across the 2-process mesh
+    equals the single-controller per-shard ground truth: shard i of the
+    batch runs closed_loop_full_stack_batched with fold_in(key, i) — the
+    exact key discipline shard_fn applies via axis_index."""
+    out = worker_outputs
+    import jax
+
+    from cilqr_tpu.sim import perception, plant, scenarios
+    from cilqr_tpu.sim.runner import build_scenario_inputs
+    from cilqr_tpu.ops import gridmap as gm_mod
+    from cilqr_tpu.utils.params import NoiseParams
+
+    p, cp = worker.make_params()
+    plan, n, _, _ = worker.make_inputs(p, jnp.float32)
+    plan32 = plan.astype(jnp.float32)
+    sc = scenarios.get_scenario("success1")
+    ob, obs_xyyaw, obs_size, obs_mask = build_scenario_inputs(
+        p, sc, jnp.float32)
+    gmap = jnp.zeros((32, 32), jnp.float32)
+    ggeom = gm_mod.make_geom([100.0, -300.0], 2.0, 32, 32, dtype=jnp.float32)
+    percept = perception.PerceptionSim(
+        0, jnp.asarray([0.5, 0.0], jnp.float32), bbox_sigma=0.0)
+    B = 8
+    x0s = (np.asarray(sc.start)[None, :]
+           + np.random.default_rng(13).normal(0, 0.2, (B, 4))
+           ).astype(np.float32)
+
+    # ground truth: 4 device shards of 2 scenarios, each with its own
+    # fold_in(key, shard) — no mesh involved
+    key = jax.random.key(5)
+    xf_ref, J_last = [], []
+    n_shards, bs = 4, B // 4
+    for i in range(n_shards):
+        xf_i, rec_i = plant.closed_loop_full_stack_batched(
+            p, cp, NoiseParams(), gmap, ggeom, plan32, n,
+            jnp.asarray(x0s[i * bs:(i + 1) * bs]),
+            jax.random.fold_in(key, i), 2,
+            obstacles=ob, obs_xyyaw=obs_xyyaw, obs_size=obs_size,
+            obs_mask=obs_mask, percept=percept,
+        )
+        xf_ref.append(np.asarray(xf_i))
+        J_last.append(np.asarray(rec_i["J"][-1]))
+    xf_ref = np.concatenate(xf_ref)
+    mean_J_ref = float(np.concatenate(J_last).sum() / B)
+
+    xf = np.full((B, 4), np.nan, np.float32)
+    sums = []
+    for pid in range(2):
+        z = np.load(out / f"fullstack_{pid}.npz")
+        n_local = z["xf"].shape[0]
+        lo = int(z["starts"][0])
+        xf[lo:lo + n_local] = z["xf"]
+        sums.append((float(z["mean_J"]), float(z["collision_frac"])))
+    assert np.isfinite(xf).all()
+    np.testing.assert_allclose(xf, xf_ref, rtol=1e-6, atol=1e-6)
+    # the psum summary is replicated across processes and matches
+    assert sums[0] == sums[1]
+    np.testing.assert_allclose(sums[0][0], mean_J_ref, rtol=1e-5)
