@@ -595,6 +595,11 @@ def propagate_uncertainty_tpu_banded(
                 bytes_accessed=4 * rows * cols * (5 * B + 2),
                 transcendentals=flops // 12,
             ),
+            # large-radius (aligned-mode) windows stage bigger padded
+            # priors + rows+8 group loads; the default 16 MB scoped-vmem
+            # arena overflows (v5e has 128 MB) — same raise as _propagate
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=96 * 1024 * 1024),
             interpret=interpret,
         )(prior_pad, sxb, syb, rhob, psdb, prior32)
         return out.astype(prior.dtype)
@@ -640,6 +645,8 @@ def propagate_uncertainty_tpu_banded(
                 bytes_accessed=4 * br * cols * (5 * B + 2),
                 transcendentals=B * (2 * Rb + 1) ** 2 * br * cols,
             ),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=96 * 1024 * 1024),
             interpret=interpret,
         )(prior_pad, sl(sxb), sl(syb), sl(rhob), sl(psdb), pband)
         outs.append(out)

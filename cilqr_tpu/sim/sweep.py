@@ -23,8 +23,9 @@ grid compiles 6 programs, not 60.
 Propagation-path choice: at serving sigmas (<= the Experiment.launch
 0.16/0.017 scale) the banded Pallas kernel is the fast path
 (use_pallas=True).  HIGH-sigma windows above the static-unroll ceiling
-route through the kernel's aligned-group row loop (any radius, ~65 s
-compile at the worst production band vs an unbounded unrolled compile);
+route through the kernel's aligned-group row loop (any radius — ~65 s
+isolated-kernel compile at the worst production band, ~17 min embedded in
+a full closed-loop module, vs an unbounded unrolled compile);
 the published offline tables use ``use_pallas=False`` (the CLI `sweep
 --no-pallas`) — the XLA fori propagation compiles instantly, runs the
 whole 5-sigma x 6-algorithm production grid in ~9 min on one v5e chip,
