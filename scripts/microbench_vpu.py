@@ -1,0 +1,223 @@
+"""Measure the VPU roofline constants on the real chip (VERDICT r3 item 2).
+
+Round 3's speed-of-light accounting (`utils/roofline.py`) rested on two
+*derived* constants: ``VPU_PEAK = 7.7e12`` (lane-count x guessed clock) and
+``TRANSCENDENTAL_SLOTS = 7`` (asserted).  This script replaces them with
+measured numbers from five Pallas microkernels.
+
+Methodology (hardened against every timing trap hit so far — axon dedup of
+identical queued executions, the ~25 ms tunnel sync RTT, and queued
+dispatches whose completion a single ``block_until_ready`` under-reports):
+
+* each body is built on a 2-accumulator Givens ROTATION (a,b) -> (ac-bs,
+  as+bc): norm-preserving, so the chain never converges to a fixpoint and
+  no two chained inputs are ever bit-equal — dedup cannot fire;
+* measurement chains K dependent dispatches ``y = fn(y)`` — the data
+  dependency forces real serial execution on device;
+* each body is timed at two unroll depths (R and 2R); the reported cost is
+  the SLOPE between them, so sync RTT, per-dispatch overhead, and block
+  copies cancel exactly;
+* the rotation baseline (4 slot-ops/round) is itself measured, and the
+  select/exp/gather/roll costs are their slopes MINUS the rotation slope.
+
+Bodies (per round, per element, on (128,128) f32 blocks):
+
+* ``rot``    — the bare rotation: 4 slot-ops, 6 FLOPs (2 mul + 2 fused)
+* ``sel``    — rotation + compare + select                  (+2 slots)
+* ``exp``    — rotation + exp(b*1e-3)*1e-6 folded into a    (+3 slots: exp+mul+add)
+* ``gather`` — rotation + lane take_along_axis of a data-dependent index
+               (+3 known slots: convert+and+add; gather is the unknown)
+* ``roll``   — rotation + dynamic-amount pltpu.roll         (+2 known slots)
+
+Usage (on the chip):
+
+    python scripts/microbench_vpu.py          # JSON report
+    python scripts/microbench_vpu.py --write  # + update roofline_measured.json
+"""
+
+from __future__ import annotations
+
+import functools
+import json
+import math
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+_BLK = 128      # block rows (x 128 lanes)
+_G = 512        # independent blocks per dispatch
+_K = 6          # chained dependent dispatches per measurement
+_REPS = 3       # repeats per (body, R); min is kept
+
+
+def _chain_kernel(body, R: int, x_ref, o_ref):
+    import jax
+
+    a = x_ref[0, 0]
+    b = x_ref[0, 1]
+    c = math.cos(0.7)
+    s = math.sin(0.7)
+    # fori_loop: opaque to constant folding (a fully unrolled rotation chain
+    # is linear in (a, b) and could in principle collapse to one matrix),
+    # and keeps Mosaic compile time flat in R
+    a, b = jax.lax.fori_loop(
+        0, R, lambda r, ab: body(ab[0], ab[1], c, s, r), (a, b)
+    )
+    o_ref[0, 0] = a
+    o_ref[0, 1] = b
+
+
+def _run_chain(body, R: int, interpret: bool):
+    import jax
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    kern = functools.partial(_chain_kernel, body, R)
+    fn = pl.pallas_call(
+        kern,
+        grid=(_G,),
+        in_specs=[pl.BlockSpec((1, 2, _BLK, 128), lambda g: (g, 0, 0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((1, 2, _BLK, 128), lambda g: (g, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((_G, 2, _BLK, 128), np.float32),
+        interpret=interpret,
+    )
+    return jax.jit(fn)
+
+
+def _time_chain(fn, x0):
+    """Chained dependent dispatches: warm once, then K serial y = fn(y)
+    with one final VALUE-FETCH sync (block_until_ready under the axon
+    tunnel is a weak barrier — a host fetch of a reduced scalar is the
+    only sync observed to reflect real device time).  Returns seconds per
+    dispatch (incl. RTT/K — cancelled by the R-slope)."""
+    import jax
+    import jax.numpy as jnp
+
+    y = fn(x0)
+    float(jnp.sum(y))
+    t0 = time.perf_counter()
+    for _ in range(_K):
+        y = fn(y)
+    float(jnp.sum(y))
+    return (time.perf_counter() - t0) / _K
+
+
+def _bodies():
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental.pallas import tpu as pltpu
+
+    def mul(a, b, c, s, r):
+        return a * 1.0000001, b
+
+    def fma(a, b, c, s, r):
+        return a * 0.9999999 + 1e-7, b
+
+    def rot(a, b, c, s, r):
+        return a * c - b * s, a * s + b * c
+
+    def sel(a, b, c, s, r):
+        a, b = rot(a, b, c, s, r)
+        return jnp.where(b > (0.01 * r - 2.5), a, -a), b
+
+    def expb(a, b, c, s, r):
+        a, b = rot(a, b, c, s, r)
+        return a + jnp.exp(b * 1e-3) * 1e-6, b
+
+    def gather(a, b, c, s, r):
+        a, b = rot(a, b, c, s, r)
+        ii = jax.lax.bitwise_and(b.astype(jnp.int32), 127)
+        return a + jnp.take_along_axis(b, ii, axis=1) * 1e-6, b
+
+    def roll(a, b, c, s, r):
+        a, b = rot(a, b, c, s, r)
+        amt = b[0, 0].astype(jnp.int32) & 127
+        return a + pltpu.roll(b, amt, axis=1) * 1e-6, b
+
+    def tpose(a, b, c, s, r):
+        a, b = rot(a, b, c, s, r)
+        return a + jnp.swapaxes(b, 0, 1) * 1e-6, b
+
+    # name -> (body, known_extra_slots_beyond_rotation, unknown_op_count)
+    return {
+        "mul": (mul, 0.0, 0),    # 1 op, 1 FLOP — the unambiguous slot unit
+        "fma": (fma, 0.0, 0),    # 1 op if mul+add fuse, else 2
+        "rot": (rot, 0.0, 0),
+        "sel": (sel, 0.0, 1),      # cmp+select pair is the unknown (2 ops)
+        "exp": (expb, 2.0, 1),     # mul+add known; exp is the unknown
+        "gather": (gather, 4.0, 1),  # convert+and+mul+add known
+        "roll": (roll, 2.0, 1),    # mul+add known; roll is the unknown
+        "tpose": (tpose, 2.0, 1),  # mul+add known; (128,128) transpose unknown
+    }
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    write = "--write" in sys.argv
+    interpret = jax.default_backend() == "cpu"
+    rng = np.random.default_rng(0)
+    n_elem = _G * _BLK * 128
+    x0 = jnp.asarray(rng.uniform(-2.0, 2.0, (_G, 2, _BLK, 128)), jnp.float32)
+    jax.block_until_ready(x0)
+
+    R0, R1 = (1024, 3072) if not interpret else (2, 4)
+    bodies = _bodies()
+    report = {"device": str(jax.devices()[0]), "n_elem_per_dispatch": n_elem,
+              "unroll": [R0, R1], "chained_dispatches": _K, "kernels": {}}
+    slope = {}
+    for name, (body, _known, _unk) in bodies.items():
+        f0 = _run_chain(body, R0, interpret)
+        f1 = _run_chain(body, R1, interpret)
+        t0 = min(_time_chain(f0, x0) for _ in range(_REPS))
+        t1 = min(_time_chain(f1, x0) for _ in range(_REPS))
+        dt = max(t1 - t0, 1e-12) / (R1 - R0)   # s per round per dispatch
+        slope[name] = dt
+        report["kernels"][name] = {
+            "t_R0_us": round(t0 * 1e6, 1),
+            "t_R1_us": round(t1 * 1e6, 1),
+            "per_round_ps_per_elem": round(dt / n_elem * 1e12, 3),
+        }
+
+    rot_round = slope["rot"]
+    slot_s = slope["mul"] / n_elem              # s per 1-slot op per elem
+    slot_rate = 1.0 / slot_s                    # 1-slot elem-ops/s
+    fma_fused = slope["fma"] / slope["mul"]     # ~1 if mul+add fuse, ~2 if not
+    vpu_peak = 2.0 / (slope["fma"] / n_elem)    # FLOP/s at pure FMA chains
+    rot_slots = rot_round / n_elem / slot_s     # cross-check: ~4 if fused
+    def extra(name):
+        _body, known, _unk = bodies[name]
+        return (slope[name] - rot_round) / n_elem / slot_s - known
+    out = {
+        "vpu_peak_flops": float(f"{vpu_peak:.4g}"),
+        "slot_rate": float(f"{slot_rate:.4g}"),
+        "fma_vs_mul": round(fma_fused, 2),
+        "rot_slots_check": round(rot_slots, 2),
+        "cmp_select_slots": round(extra("sel"), 2),
+        "transcendental_slots": round(extra("exp"), 2),
+        "gather_slots_per_elem": round(extra("gather"), 2),
+        "roll_slots_per_elem": round(extra("roll"), 2),
+        "transpose_slots_per_elem": round(extra("tpose"), 2),
+        "source": "measured" if not interpret else "interpret (NOT valid)",
+    }
+    report["constants"] = out
+    print(json.dumps(report, indent=2))
+    if write and not interpret:
+        path = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                            "cilqr_tpu", "utils", "roofline_measured.json")
+        with open(path, "w") as f:
+            json.dump(out, f, indent=2)
+            f.write("\n")
+        print("wrote", path)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
