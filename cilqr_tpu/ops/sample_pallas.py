@@ -61,10 +61,18 @@ def _col_extent(res_v: float, res_g: float, cols: int) -> int:
 
 
 def _window_rows(res_v: float, res_g: float, cols: int) -> int:
-    """Static row-window size WR: the tile extent +8 for sublane alignment
-    of the dynamic slice start, rounded up to a sublane multiple."""
+    """Static row-window size WR, rounded up to a sublane multiple.
+
+    The offset loop must cover o = lr - s up to lr_max - 0 where
+    lr = ii - row0 with row0 = align8(min ii) - 8: lr in [8, 15] at the
+    minimum plus the tile's integer index spread (<= extent - 1), so
+    o_max = extent + 14 and the loop bound WR (= WR8 - 8) must be
+    >= extent + 14.  (The original ``extent + 8`` sizing silently missed
+    o in (round8(extent + 8), extent + 14] for most extents mod 8 —
+    including the production extent 43 — caught by the shear kernel's
+    fallback-path test at cols=56.)"""
     extent = _col_extent(res_v, res_g, cols)
-    return ((extent + 8) + 7) // 8 * 8
+    return ((extent + 14) + 7) // 8 * 8
 
 
 def supports(rows: int, cols: int, res_v: float, res_g: float,
@@ -84,9 +92,12 @@ def supports(rows: int, cols: int, res_v: float, res_g: float,
     return True
 
 
-def _tile_body(t, rows: int, cols: int, res_v: float, H: int, W: int,
-               Wpad: int, WR: int, map_ref, scal, out_ref,
-               whole_map: bool = False):
+def _tile_window_values(t, rows: int, cols: int, res_v: float, H: int,
+                        W: int, Wpad: int, WR: int, map_ref, scal):
+    """The direct window-gather tile: exact for EVERY pose (window origins
+    derive from clamped index minima), ~(WR+1) gather+select pairs.  Kept
+    as the per-tile fallback of the shear kernel and the body of the
+    legacy kernels."""
     f32 = jnp.float32
     (first_x, first_y, ego_x, ego_y, cyaw, syaw, top_x, top_y, res_g) = scal
 
@@ -130,6 +141,14 @@ def _tile_body(t, rows: int, cols: int, res_v: float, H: int, W: int,
     for o in range(WR8 - _TS + 1):
         g = jnp.take_along_axis(wslice[o : o + _TS, :], lc, axis=1)
         v = jnp.where(lr == o + s_iota, g, v)
+    return v
+
+
+def _tile_body(t, rows: int, cols: int, res_v: float, H: int, W: int,
+               Wpad: int, WR: int, map_ref, scal, out_ref,
+               whole_map: bool = False):
+    v = _tile_window_values(t, rows, cols, res_v, H, W, Wpad, WR,
+                            map_ref, scal)
     if whole_map:  # per-scenario whole-map block (1, T*_TS, _TL); t static
         out_ref[0, t * _TS : (t + 1) * _TS, :] = v
     else:          # one (1, _TS, _TL) tile block; t = program_id
@@ -156,6 +175,273 @@ def _kernel_fused(T: int, rows: int, cols: int, res_v: float, H: int, W: int,
     for t in range(T):
         _tile_body(t, rows, cols, res_v, H, W, Wpad, WR,
                    map_ref, scal, out_ref, whole_map=True)
+
+
+def supports_shear(rows: int, cols: int, res_v: float, res_g: float,
+                   H: int, W: int) -> bool:
+    """Static eligibility for the shear-decomposition kernel: the whole
+    scenario's sheared row extent fits one 128-lane scratch, both map
+    orientations fit VMEM, and the window fallback (used by border tiles)
+    is itself supported."""
+    if cols > _TL:
+        return False
+    k = res_v / res_g
+    # whole-scenario sheared row span + m0 slack (12) + floor noise (4)
+    # + window headroom must fit the 128-row scratch
+    if k * math.sqrt(2.0) * (rows - 1) + 28 > _TL:
+        return False
+    Hp8 = -(-H // _TS) * _TS
+    Wp8 = -(-W // _TS) * _TS
+    if Wp8 < _TL or Hp8 < _TL:
+        return False
+    Wp128 = -(-W // _TL) * _TL
+    Hp128 = -(-H // _TL) * _TL
+    if 4 * ((Hp8 + _TS) * Wp128 + Wp8 * Hp128) > _VMEM_MAP_BYTES:
+        return False
+    return supports(rows, cols, res_v, res_g, H, W)
+
+
+def _shear_offsets(rows: int, cols: int, res_v: float, res_g: float):
+    """Static gather-offset count for the shear kernel's tile stage.
+
+    The per-group gather ``take_along_axis(wsl[o:o+8], lane_idx)`` reads
+    row ``o + s`` at sublane s, so the offsets o must cover the tile range
+    of ``m_loc - s``: the floor-noise band (3 ints), the sublane drift
+    |Pi - 1|*7 with Pi = k/max(|cos|,|sin|) in [k, k*sqrt(2)], and up to 7
+    from aligning the window base down to a sublane multiple."""
+    k = res_v / res_g
+    drift = max(abs(1.0 - k), abs(1.0 - k * math.sqrt(2.0)))
+    off = 8 + 4 + math.ceil(drift * 7.0)
+    wsl = -(-(off + 8) // _TS) * _TS
+    return off, wsl
+
+
+def _kernel_shear(T: int, rows: int, cols: int, res_v: float, H: int,
+                  W: int, Wpad: int, WR: int, OFF: int, WSL: int, map_ref,
+                  mapT_ref, scl_ref, gscl_ref, out_ref, s_ref):
+    """Shear-decomposition resample: ONE whole-scenario lane-gather builds
+    a sheared map copy S with S[m, u] = map[clip(m + m0 + floor(beta*u)),
+    u'] (mode A; axes swap in mode B), where beta = -tan(yaw) (|beta| <= 1
+    by mode choice).  Because m = rowidx - floor(beta*colidx) is affine in
+    (i, j) with its LANE slope cancelled exactly, each 8x128 output tile's
+    gather range shrinks from the window extent (~WR+1 = 57 offsets at the
+    production resolutions) to OFF (~17) offsets, and the per-tile lane
+    rolls disappear entirely.  Border-touching tiles (any clamping
+    possibly engaged, detected by conservative scalar corner bounds) take
+    the exact direct-window fallback via pl.when, so the kernel is
+    bit-exact for every pose.  Measured motivation
+    (scripts/microbench_vpu.py): a lane gather costs ~8-13 issue slots per
+    element and a dynamic roll ~11-16 — op COUNT, not arithmetic, bound
+    the old kernel at ~14.7 us/map."""
+    f32 = jnp.float32
+    first_x = scl_ref[0, 0, 0]
+    first_y = scl_ref[0, 0, 1]
+    ego_x = scl_ref[0, 0, 2]
+    ego_y = scl_ref[0, 0, 3]
+    cyaw = scl_ref[0, 0, 4]
+    syaw = scl_ref[0, 0, 5]
+    # slot 6 encodes (mode, eps): |v| < 1.5 -> mode A; sign(v) = eps, the
+    # m-axis flip that keeps the sublane drift Pi = eps*(Vi - beta*Ui) > 0
+    mode_eps = scl_ref[0, 0, 6]
+    modeA = jnp.abs(mode_eps) < 1.5
+    eps = jnp.where(mode_eps >= 0.0, 1.0, -1.0)
+    beta = scl_ref[0, 0, 7]   # already eps-folded (beta_p = eps * beta)
+    u0a = scl_ref[0, 0, 8]   # int-valued f32, multiple of 8
+    m0 = scl_ref[0, 0, 9]    # int-valued f32
+    A0 = scl_ref[0, 0, 10]
+    Ai = scl_ref[0, 0, 11]
+    Aj = scl_ref[0, 0, 12]
+    Bc0 = scl_ref[0, 0, 13]
+    Bci = scl_ref[0, 0, 14]
+    Bcj = scl_ref[0, 0, 15]
+    top_x = gscl_ref[0, 0]
+    top_y = gscl_ref[0, 1]
+    res_g = gscl_ref[0, 2]
+    scal = (first_x, first_y, ego_x, ego_y, cyaw, syaw, top_x, top_y, res_g)
+
+    u0i = pl.multiple_of(u0a.astype(jnp.int32), _TS)
+
+    # ---- per-scenario shear build: S'[u, m] = map[clip(m+m0+sig(u)), u]
+    p_r = jax.lax.broadcasted_iota(f32, (_TL, _TL), 0)   # physical row = u
+    m_l = jax.lax.broadcasted_iota(f32, (_TL, _TL), 1)   # lane = m
+    sig = jnp.floor(beta * (u0a + p_r))
+    cliphi = jnp.where(modeA, H - 1.0, W - 1.0)
+    idx = jnp.clip(eps * (m0 + m_l + sig), 0.0, cliphi).astype(jnp.int32)
+
+    def gather_lane_tiles(src, ix):
+        """take_along_axis from a multiple-of-128-lane source: Mosaic's
+        gather wants indices shaped like its input, so gather each
+        128-lane tile with clamped local indices and select."""
+        n = src.shape[1] // _TL
+        out = jnp.take_along_axis(src[:, :_TL],
+                                  jnp.clip(ix, 0, _TL - 1), axis=1)
+        for q in range(1, n):
+            sub = src[:, q * _TL : (q + 1) * _TL]
+            loc = jnp.clip(ix - q * _TL, 0, _TL - 1)
+            g = jnp.take_along_axis(sub, loc, axis=1)
+            out = jnp.where(ix >= q * _TL, g, out)
+        return out
+
+    @pl.when(modeA)
+    def _():
+        src = mapT_ref[pl.ds(u0i, _TL), :]          # (128, Hp128): u=col
+        s_ref[...] = jnp.swapaxes(gather_lane_tiles(src, idx), 0, 1)
+
+    @pl.when(jnp.logical_not(modeA))
+    def _():
+        src = map_ref[pl.ds(u0i + _TS, _TL), :]     # (128, Wp128): u=row
+        s_ref[...] = jnp.swapaxes(gather_lane_tiles(src, idx), 0, 1)
+
+    s_iota = jax.lax.broadcasted_iota(jnp.int32, (_TS, _TL), 0)
+    for t in range(T):
+        # conservative scalar corner bounds of the tile's unclamped affine
+        # indices: fi = A0 + Ai*i + Aj*j, fj = B0 + Bi*i + Bj*j (the 0.25 /
+        # 0.75 margins absorb the tiny float mismatch vs the elementwise
+        # plane computation below)
+        i0, i1, j1 = float(t * _TS), float(t * _TS + _TS - 1), float(cols - 1)
+
+        def corner_minmax(c0, ci_, cj_):
+            vals = (c0 + ci_ * i0, c0 + ci_ * i0 + cj_ * j1,
+                    c0 + ci_ * i1, c0 + ci_ * i1 + cj_ * j1)
+            lo = jnp.minimum(jnp.minimum(vals[0], vals[1]),
+                             jnp.minimum(vals[2], vals[3]))
+            hi = jnp.maximum(jnp.maximum(vals[0], vals[1]),
+                             jnp.maximum(vals[2], vals[3]))
+            return lo, hi
+
+        fi_lo, fi_hi = corner_minmax(A0, Ai, Aj)
+        fj_lo, fj_hi = corner_minmax(Bc0, Bci, Bcj)
+        interior = jnp.logical_and(
+            jnp.logical_and(fi_lo >= 0.25, fi_hi <= H - 1.75),
+            jnp.logical_and(fj_lo >= 0.25, fj_hi <= W - 1.75),
+        )
+
+        @pl.when(interior)
+        def _(t=t, i0=i0, i1=i1, j1=j1):
+            ri = jax.lax.broadcasted_iota(jnp.int32, (_TS, _TL), 0) + t * _TS
+            ci = jnp.minimum(
+                jax.lax.broadcasted_iota(jnp.int32, (_TS, _TL), 1), cols - 1)
+            x_v = first_x - res_v * ri.astype(f32)
+            y_v = first_y - res_v * ci.astype(f32)
+            gx = x_v * cyaw - y_v * syaw + ego_x
+            gy = x_v * syaw + y_v * cyaw + ego_y
+            fi_fl = jnp.floor((top_x - gx) / res_g)
+            fj_fl = jnp.floor((top_y - gy) / res_g)
+            u_pl = jnp.where(modeA, fj_fl, fi_fl)
+            v_pl = jnp.where(modeA, fi_fl, fj_fl)
+            m_loc = (eps * v_pl - jnp.floor(beta * u_pl)
+                     - m0).astype(jnp.int32)
+            lane_idx = (u_pl - u0a).astype(jnp.int32)
+            # exact window base: min over the tile of (m_loc - s), aligned
+            # down to a sublane multiple (the <= 7 alignment residue is
+            # part of OFF's static budget); m0's slack keeps it >= 0
+            mls = m_loc - s_iota
+            w0 = pl.multiple_of(
+                jnp.clip((jnp.min(mls) // _TS) * _TS, 0, _TL - WSL), _TS)
+            wsl = s_ref[pl.ds(w0, WSL), :]
+            mrel = m_loc - w0
+            v = jnp.zeros((_TS, _TL), f32)
+            for o in range(OFF):
+                g = jnp.take_along_axis(wsl[o : o + _TS, :],
+                                        lane_idx, axis=1)
+                v = jnp.where(mrel == o + s_iota, g, v)
+            out_ref[0, t * _TS : (t + 1) * _TS, :] = v
+
+        @pl.when(jnp.logical_not(interior))
+        def _(t=t):
+            vw = _tile_window_values(t, rows, cols, res_v, H, W, Wpad, WR,
+                                     map_ref, scal)
+            out_ref[0, t * _TS : (t + 1) * _TS, :] = vw
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1, 2, 3, 4, 5, 10))
+def _sample_shear(rows: int, cols: int, res_v: float, WR: int, OFF: int,
+                  WSL: int, global_map, gscl, firsts, egos_cs,
+                  interpret: bool):
+    H, W = global_map.shape
+    Hp8 = -(-H // _TS) * _TS
+    Wp8 = -(-W // _TS) * _TS
+    Hp128 = -(-H // _TL) * _TL
+    Wp128 = -(-W // _TL) * _TL
+    gm32 = global_map.astype(jnp.float32)
+    # same padded layout as _sample (the fallback tiles share it) plus an
+    # edge-padded transpose for the mode-A shear build
+    mpad = jnp.pad(gm32, ((_TS, Hp8 - H), (0, Wp128 - W)), mode="edge")
+    mtpad = jnp.pad(gm32.T, ((0, Wp8 - W), (0, Hp128 - H)), mode="edge")
+    B = firsts.shape[0]
+    T = -(-rows // _TS)
+
+    top_x, top_y, res_g = gscl[0, 0], gscl[0, 1], gscl[0, 2]
+    first_x, first_y = firsts[:, 0], firsts[:, 1]
+    ego_x, ego_y = egos_cs[:, 0], egos_cs[:, 1]
+    c, s = egos_cs[:, 2], egos_cs[:, 3]
+    k = res_v / res_g
+    A0 = (top_x - ego_x - first_x * c + first_y * s) / res_g
+    Ai, Aj = k * c, -k * s
+    B0 = (top_y - ego_y - first_x * s - first_y * c) / res_g
+    Bi, Bj = k * s, k * c
+    modeA = jnp.abs(Aj) <= jnp.abs(Bj)
+    beta = jnp.where(modeA, Aj, Bj) / jnp.where(modeA, Bj, Aj)
+    U0 = jnp.where(modeA, B0, A0)
+    Ui = jnp.where(modeA, Bi, Ai)
+    Uj = jnp.where(modeA, Bj, Aj)
+    rr, cc = float(rows - 1), float(cols - 1)
+
+    def corner_min(c0, ci_, cj_):
+        vals = (c0, c0 + cj_ * cc, c0 + ci_ * rr, c0 + ci_ * rr + cj_ * cc)
+        return jnp.minimum(jnp.minimum(vals[0], vals[1]),
+                           jnp.minimum(vals[2], vals[3]))
+
+    ulimit = jnp.where(modeA, float(Wp8 - _TL), float(Hp8 - _TL))
+    u0a = jnp.clip(jnp.floor(jnp.floor(corner_min(U0, Ui, Uj)) / _TS) * _TS,
+                   0.0, ulimit)
+    V0 = jnp.where(modeA, A0, B0)
+    Vi = jnp.where(modeA, Ai, Bi)
+    Vj = jnp.where(modeA, Aj, Bj)
+    # eps flips the m axis so the sublane drift Pi = eps*(Vi - beta*Ui)
+    # stays positive (|Pi| in [k, k*sqrt(2)]) — without it, cos(yaw) < 0
+    # (or mode-B sin < 0) would double the tile gather-offset range
+    eps = jnp.where(Vi - beta * Ui >= 0.0, 1.0, -1.0)
+    beta_p = eps * beta
+    # slack 12: floor-noise band (2) + the tile window's align-down (7)
+    # + margin, so m_loc - s >= 0 for every interior element
+    m0 = jnp.floor(corner_min(eps * V0 - beta_p * U0,
+                              eps * Vi - beta_p * Ui,
+                              eps * Vj - beta_p * Uj)) - 12.0
+
+    scl = jnp.stack(
+        [first_x, first_y, ego_x, ego_y, c, s,
+         jnp.where(modeA, 1.0, 2.0) * eps, beta_p, u0a, m0,
+         A0, Ai, Aj, B0, Bi, Bj],
+        axis=1).astype(jnp.float32)[:, None, :]   # (B, 1, 16)
+
+    kern = functools.partial(
+        _kernel_shear, T, rows, cols, float(res_v), H, W, Wp128, WR, OFF, WSL
+    )
+    cost = pl.CostEstimate(
+        flops=B * (T * 3 * 3 * _TS * _TL + 2 * _TL * _TL * 3),
+        bytes_accessed=4 * ((Hp8 + _TS) * Wp128 + Wp8 * Hp128
+                            + B * T * _TS * _TL),
+        transcendentals=0,
+    )
+    out = pl.pallas_call(
+        kern,
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec(mpad.shape, lambda b: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(mtpad.shape, lambda b: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 16), lambda b: (b, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 8), lambda b: (0, 0), memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec((1, T * _TS, _TL), lambda b: (b, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, T * _TS, _TL), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((_TL, _TL), jnp.float32)],
+        cost_estimate=cost,
+        interpret=interpret,
+    )(mpad, mtpad, scl, jnp.asarray(gscl, jnp.float32))
+    return out[:, :rows, :cols]
 
 
 @functools.partial(jax.jit, static_argnums=(0, 1, 2, 3, 8, 9))
@@ -230,6 +516,7 @@ def sample_prior_batched_tpu(
     ego_yaws: jax.Array,
     interpret=None,
     fused: bool = True,
+    algo: str = "auto",
 ) -> jax.Array:
     """Batched drop-in for ``vmap(costmap.sample_prior)``: (B, rows, cols)
     nearest-cell resample of one shared global map at B vehicle frames.
@@ -239,9 +526,19 @@ def sample_prior_batched_tpu(
     dynamic — only the window sizing needs Python floats).  Eligibility
     must be checked by the caller via ``supports``.  ``interpret=None``
     auto-selects the Pallas interpreter on CPU.
+
+    ``algo``: ``"shear"`` (3 gathers/tile via the exact shear
+    decomposition, ``supports_shear`` required), ``"window"`` (the direct
+    per-tile window gather), or ``"auto"`` (shear when supported).
     """
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
+    if algo == "auto":
+        algo = ("shear" if supports_shear(rows, cols, float(res_v),
+                                          float(res_g),
+                                          int(global_map.shape[0]),
+                                          int(global_map.shape[1]))
+                else "window")
     firsts = (
         geoms.center + 0.5 * geoms.length
         - 0.5 * geoms.resolution[..., None]
@@ -257,6 +554,12 @@ def sample_prior_batched_tpu(
         axis=1,
     )
     WR = _window_rows(float(res_v), float(res_g), cols)
+    if algo == "shear":
+        OFF, WSL = _shear_offsets(rows, cols, float(res_v), float(res_g))
+        return _sample_shear(
+            rows, cols, float(res_v), WR, OFF, WSL, global_map, gscl,
+            firsts, egos_cs, bool(interpret),
+        )
     return _sample(
         rows, cols, float(res_v), WR, global_map, gscl, firsts, egos_cs,
         bool(interpret), bool(fused),

@@ -241,6 +241,128 @@ def test_sample_prior_pallas_matches_xla(global_plan, fused):
     np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
 
 
+def _shear_pose_grid(map_center, span, yaw_list, pose_list):
+    ex, ey, yw = [], [], []
+    for x, y in pose_list:
+        for y_ in yaw_list:
+            ex.append(x)
+            ey.append(y)
+            yw.append(y_)
+    return np.asarray(ex), np.asarray(ey), np.asarray(yw)
+
+
+def test_sample_prior_shear_matches_xla(global_plan):
+    """Shear-decomposition Pallas sampler vs vmapped sample_prior:
+    bit-identical across yaw quadrants (incl. the eps-critical cos<0 /
+    sin<0 angles), border-touching and off-map poses (which exercise the
+    in-kernel window fallback)."""
+    import jax
+
+    from cilqr_tpu.ops import sample_pallas
+
+    rows, cols, res_v, res_g = 64, 56, 0.2, 0.5
+    H, W = 136, 132
+    rng = np.random.default_rng(7)
+    gmap = jnp.asarray(rng.uniform(0, 100, (H, W)), jnp.float32)
+    ggeom = gridmap.make_geom([50.0, -80.0], res_g, H, W, dtype=jnp.float32)
+    assert sample_pallas.supports_shear(rows, cols, res_v, res_g, H, W)
+
+    # centered, near-border, partially off, fully off poses x yaws that
+    # cover mode A/B and both eps signs (pi, -pi/2, -3.0 regressed once)
+    ex, ey, yw = _shear_pose_grid(
+        (50.0, -80.0), 30.0,
+        [0.0, np.pi / 4, np.pi / 2, np.pi, -np.pi / 2, -3.0, 2.2, -0.3],
+        [(50.0, -80.0), (62.0, -74.0), (78.0, -80.0), (50.0, -104.0),
+         (120.0, -80.0), (50.0, -200.0)],
+    )
+    B = len(ex)
+    egos = jnp.asarray(np.stack([ex, ey], -1), jnp.float32)
+    yaws = jnp.asarray(yw, jnp.float32)
+    centers = jnp.asarray(
+        np.stack([rng.uniform(-2, 10, B), rng.uniform(-3, 3, B)], -1),
+        jnp.float32,
+    )
+    geoms = jax.vmap(
+        lambda c: gridmap.make_geom(c, res_v, rows, cols, dtype=jnp.float32)
+    )(centers)
+
+    got = sample_pallas.sample_prior_batched_tpu(
+        geoms, rows, cols, res_v, res_g, gmap, ggeom, egos, yaws,
+        algo="shear",
+    )
+    want = jax.vmap(
+        lambda g, e, y: costmap.sample_prior(g, rows, cols, gmap, ggeom, e, y)
+    )(geoms, egos, yaws)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_sample_prior_window_offset_coverage_regression(global_plan):
+    """Regression: the window kernel's offset loop must cover
+    o = lr - s up to extent + 14.  At cols=56 (extent 24, formerly
+    WR=32 < 24+14) a yaw=-pi/2 pose with the right index alignment left
+    ~1/3 of the first output row unwritten (zeros) — caught via the shear
+    kernel's fallback path, fixed by the extent+14 window sizing."""
+    import jax
+
+    from cilqr_tpu.ops import sample_pallas
+
+    rows, cols, res_v, res_g = 64, 56, 0.2, 0.5
+    H, W = 136, 132
+    rng = np.random.default_rng(7)
+    gmap = jnp.asarray(rng.uniform(0, 100, (H, W)), jnp.float32)
+    ggeom = gridmap.make_geom([50.0, -80.0], res_g, H, W, dtype=jnp.float32)
+    egos = jnp.asarray([[50.0, -104.0]], jnp.float32)
+    yaws = jnp.asarray([-np.pi / 2], jnp.float32)
+    geoms = jax.vmap(
+        lambda c: gridmap.make_geom(c, res_v, rows, cols, dtype=jnp.float32)
+    )(jnp.asarray([[9.0, 0.5]], jnp.float32))
+    got = sample_pallas.sample_prior_batched_tpu(
+        geoms, rows, cols, res_v, res_g, gmap, ggeom, egos, yaws,
+        algo="window",
+    )
+    want = jax.vmap(
+        lambda g, e, y: costmap.sample_prior(g, rows, cols, gmap, ggeom, e, y)
+    )(geoms, egos, yaws)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+@pytest.mark.slow
+def test_sample_prior_shear_matches_xla_production_size(global_plan):
+    """Shear sampler at the production 152x104 @ 0.2 m grid over a 256^2
+    @ 0.5 m global map: bit-identical for random poses and yaws."""
+    import jax
+
+    from cilqr_tpu.ops import sample_pallas
+
+    rows, cols, res_v, res_g = 152, 104, 0.2, 0.5
+    H = W = 256
+    rng = np.random.default_rng(11)
+    gmap = jnp.asarray(rng.uniform(0, 100, (H, W)), jnp.float32)
+    ggeom = gridmap.make_geom([110.0, -300.0], res_g, H, W, dtype=jnp.float32)
+    assert sample_pallas.supports_shear(rows, cols, res_v, res_g, H, W)
+    B = 24
+    egos = jnp.asarray(
+        np.stack([rng.uniform(80, 140, B), rng.uniform(-330, -270, B)], -1),
+        jnp.float32,
+    )
+    yaws = jnp.asarray(rng.uniform(-np.pi, np.pi, B), jnp.float32)
+    centers = jnp.asarray(
+        np.stack([rng.uniform(-2, 10, B), rng.uniform(-3, 3, B)], -1),
+        jnp.float32,
+    )
+    geoms = jax.vmap(
+        lambda c: gridmap.make_geom(c, res_v, rows, cols, dtype=jnp.float32)
+    )(centers)
+    got = sample_pallas.sample_prior_batched_tpu(
+        geoms, rows, cols, res_v, res_g, gmap, ggeom, egos, yaws,
+        algo="shear",
+    )
+    want = jax.vmap(
+        lambda g, e, y: costmap.sample_prior(g, rows, cols, gmap, ggeom, e, y)
+    )(geoms, egos, yaws)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
 @pytest.mark.slow
 def test_build_local_costmap_batched_sample_kernel_path(global_plan):
     """build_local_costmap_batched(global_res=...) (Pallas prior resample)
