@@ -246,78 +246,60 @@ def _kernel_shear(T: int, rows: int, cols: int, res_v: float, H: int,
     modeA = jnp.abs(mode_eps) < 1.5
     eps = jnp.where(mode_eps >= 0.0, 1.0, -1.0)
     beta = scl_ref[0, 0, 7]   # already eps-folded (beta_p = eps * beta)
-    u0a = scl_ref[0, 0, 8]   # int-valued f32, multiple of 8
-    m0 = scl_ref[0, 0, 9]    # int-valued f32
-    A0 = scl_ref[0, 0, 10]
-    Ai = scl_ref[0, 0, 11]
-    Aj = scl_ref[0, 0, 12]
-    Bc0 = scl_ref[0, 0, 13]
-    Bci = scl_ref[0, 0, 14]
-    Bcj = scl_ref[0, 0, 15]
+    u0a = scl_ref[0, 0, 8]    # int-valued f32, multiple of 8
+    m0 = scl_ref[0, 0, 9]     # int-valued f32
+    # whole-scenario interiority (wrapper corner bounds) + the tile-window
+    # base predictor: w0(t) ~ mw0 + dPi8*t (the affine min of m_loc - s
+    # shifts EXACTLY linearly per 8-row tile, so two scalars replace the
+    # per-tile corner chains and the vector->scalar min readback that cost
+    # ~170 ns/tile, measured)
+    interior_s = scl_ref[0, 0, 10] > 0.5
+    mw0 = scl_ref[0, 0, 11]
+    dPi8 = scl_ref[0, 0, 12]
     top_x = gscl_ref[0, 0]
     top_y = gscl_ref[0, 1]
     res_g = gscl_ref[0, 2]
     scal = (first_x, first_y, ego_x, ego_y, cyaw, syaw, top_x, top_y, res_g)
 
-    u0i = pl.multiple_of(u0a.astype(jnp.int32), _TS)
-
-    # ---- per-scenario shear build: S'[u, m] = map[clip(m+m0+sig(u)), u]
-    p_r = jax.lax.broadcasted_iota(f32, (_TL, _TL), 0)   # physical row = u
-    m_l = jax.lax.broadcasted_iota(f32, (_TL, _TL), 1)   # lane = m
-    sig = jnp.floor(beta * (u0a + p_r))
-    cliphi = jnp.where(modeA, H - 1.0, W - 1.0)
-    idx = jnp.clip(eps * (m0 + m_l + sig), 0.0, cliphi).astype(jnp.int32)
-
-    def gather_lane_tiles(src, ix):
-        """take_along_axis from a multiple-of-128-lane source: Mosaic's
-        gather wants indices shaped like its input, so gather each
-        128-lane tile with clamped local indices and select."""
-        n = src.shape[1] // _TL
-        out = jnp.take_along_axis(src[:, :_TL],
-                                  jnp.clip(ix, 0, _TL - 1), axis=1)
-        for q in range(1, n):
-            sub = src[:, q * _TL : (q + 1) * _TL]
-            loc = jnp.clip(ix - q * _TL, 0, _TL - 1)
-            g = jnp.take_along_axis(sub, loc, axis=1)
-            out = jnp.where(ix >= q * _TL, g, out)
-        return out
-
-    @pl.when(modeA)
-    def _():
-        src = mapT_ref[pl.ds(u0i, _TL), :]          # (128, Hp128): u=col
-        s_ref[...] = jnp.swapaxes(gather_lane_tiles(src, idx), 0, 1)
-
-    @pl.when(jnp.logical_not(modeA))
-    def _():
-        src = map_ref[pl.ds(u0i + _TS, _TL), :]     # (128, Wp128): u=row
-        s_ref[...] = jnp.swapaxes(gather_lane_tiles(src, idx), 0, 1)
-
     s_iota = jax.lax.broadcasted_iota(jnp.int32, (_TS, _TL), 0)
-    for t in range(T):
-        # conservative scalar corner bounds of the tile's unclamped affine
-        # indices: fi = A0 + Ai*i + Aj*j, fj = B0 + Bi*i + Bj*j (the 0.25 /
-        # 0.75 margins absorb the tiny float mismatch vs the elementwise
-        # plane computation below)
-        i0, i1, j1 = float(t * _TS), float(t * _TS + _TS - 1), float(cols - 1)
 
-        def corner_minmax(c0, ci_, cj_):
-            vals = (c0 + ci_ * i0, c0 + ci_ * i0 + cj_ * j1,
-                    c0 + ci_ * i1, c0 + ci_ * i1 + cj_ * j1)
-            lo = jnp.minimum(jnp.minimum(vals[0], vals[1]),
-                             jnp.minimum(vals[2], vals[3]))
-            hi = jnp.maximum(jnp.maximum(vals[0], vals[1]),
-                             jnp.maximum(vals[2], vals[3]))
-            return lo, hi
+    @pl.when(interior_s)
+    def _():
+        u0i = pl.multiple_of(u0a.astype(jnp.int32), _TS)
 
-        fi_lo, fi_hi = corner_minmax(A0, Ai, Aj)
-        fj_lo, fj_hi = corner_minmax(Bc0, Bci, Bcj)
-        interior = jnp.logical_and(
-            jnp.logical_and(fi_lo >= 0.25, fi_hi <= H - 1.75),
-            jnp.logical_and(fj_lo >= 0.25, fj_hi <= W - 1.75),
-        )
+        # ---- per-scenario shear build: S'[u, m] = map[clip(m+m0+sig(u)), u]
+        # physical row = u; lane = m (int iota: Mosaic has no f32 iota)
+        p_r = jax.lax.broadcasted_iota(jnp.int32, (_TL, _TL), 0).astype(f32)
+        m_l = jax.lax.broadcasted_iota(jnp.int32, (_TL, _TL), 1).astype(f32)
+        sig = jnp.floor(beta * (u0a + p_r))
+        cliphi = jnp.where(modeA, H - 1.0, W - 1.0)
+        idx = jnp.clip(eps * (m0 + m_l + sig), 0.0, cliphi).astype(jnp.int32)
 
-        @pl.when(interior)
-        def _(t=t, i0=i0, i1=i1, j1=j1):
+        def gather_lane_tiles(src, ix):
+            """take_along_axis from a multiple-of-128-lane source: Mosaic's
+            gather wants indices shaped like its input, so gather each
+            128-lane tile with clamped local indices and select."""
+            n = src.shape[1] // _TL
+            out = jnp.take_along_axis(src[:, :_TL],
+                                      jnp.clip(ix, 0, _TL - 1), axis=1)
+            for q in range(1, n):
+                sub = src[:, q * _TL : (q + 1) * _TL]
+                loc = jnp.clip(ix - q * _TL, 0, _TL - 1)
+                g = jnp.take_along_axis(sub, loc, axis=1)
+                out = jnp.where(ix >= q * _TL, g, out)
+            return out
+
+        @pl.when(modeA)
+        def _():
+            src = mapT_ref[pl.ds(u0i, _TL), :]        # (128, Hp128): u=col
+            s_ref[...] = jnp.swapaxes(gather_lane_tiles(src, idx), 0, 1)
+
+        @pl.when(jnp.logical_not(modeA))
+        def _():
+            src = map_ref[pl.ds(u0i + _TS, _TL), :]   # (128, Wp128): u=row
+            s_ref[...] = jnp.swapaxes(gather_lane_tiles(src, idx), 0, 1)
+
+        for t in range(T):
             ri = jax.lax.broadcasted_iota(jnp.int32, (_TS, _TL), 0) + t * _TS
             ci = jnp.minimum(
                 jax.lax.broadcasted_iota(jnp.int32, (_TS, _TL), 1), cols - 1)
@@ -332,12 +314,11 @@ def _kernel_shear(T: int, rows: int, cols: int, res_v: float, H: int,
             m_loc = (eps * v_pl - jnp.floor(beta * u_pl)
                      - m0).astype(jnp.int32)
             lane_idx = (u_pl - u0a).astype(jnp.int32)
-            # exact window base: min over the tile of (m_loc - s), aligned
-            # down to a sublane multiple (the <= 7 alignment residue is
-            # part of OFF's static budget); m0's slack keeps it >= 0
-            mls = m_loc - s_iota
+            # predicted window base (exact-affine shift per tile; the <= 7
+            # alignment residue and prediction slack are in OFF's budget)
+            w0f = jnp.floor((mw0 + dPi8 * t) / _TS) * _TS
             w0 = pl.multiple_of(
-                jnp.clip((jnp.min(mls) // _TS) * _TS, 0, _TL - WSL), _TS)
+                jnp.clip(w0f.astype(jnp.int32), 0, _TL - WSL), _TS)
             wsl = s_ref[pl.ds(w0, WSL), :]
             mrel = m_loc - w0
             v = jnp.zeros((_TS, _TL), f32)
@@ -347,8 +328,9 @@ def _kernel_shear(T: int, rows: int, cols: int, res_v: float, H: int,
                 v = jnp.where(mrel == o + s_iota, g, v)
             out_ref[0, t * _TS : (t + 1) * _TS, :] = v
 
-        @pl.when(jnp.logical_not(interior))
-        def _(t=t):
+    @pl.when(jnp.logical_not(interior_s))
+    def _():
+        for t in range(T):
             vw = _tile_window_values(t, rows, cols, res_v, H, W, Wpad, WR,
                                      map_ref, scal)
             out_ref[0, t * _TS : (t + 1) * _TS, :] = vw
@@ -403,16 +385,39 @@ def _sample_shear(rows: int, cols: int, res_v: float, WR: int, OFF: int,
     # (or mode-B sin < 0) would double the tile gather-offset range
     eps = jnp.where(Vi - beta * Ui >= 0.0, 1.0, -1.0)
     beta_p = eps * beta
+    P0 = eps * V0 - beta_p * U0
+    Pi = eps * Vi - beta_p * Ui
+    Pj = eps * Vj - beta_p * Uj
     # slack 12: floor-noise band (2) + the tile window's align-down (7)
     # + margin, so m_loc - s >= 0 for every interior element
-    m0 = jnp.floor(corner_min(eps * V0 - beta_p * U0,
-                              eps * Vi - beta_p * Ui,
-                              eps * Vj - beta_p * Uj)) - 12.0
+    m0 = jnp.floor(corner_min(P0, Pi, Pj)) - 12.0
+
+    # whole-scenario interiority: every unclamped index at least 0.25
+    # cells inside both map borders -> every tile takes the shear path
+    # (the margins absorb the corner-affine vs elementwise float mismatch)
+    def corner_max(c0, ci_, cj_):
+        vals = (c0, c0 + cj_ * cc, c0 + ci_ * rr, c0 + ci_ * rr + cj_ * cc)
+        return jnp.maximum(jnp.maximum(vals[0], vals[1]),
+                           jnp.maximum(vals[2], vals[3]))
+
+    interior_s = (
+        (corner_min(A0, Ai, Aj) >= 0.25)
+        & (corner_max(A0, Ai, Aj) <= H - 1.75)
+        & (corner_min(B0, Bi, Bj) >= 0.25)
+        & (corner_max(B0, Bi, Bj) <= W - 1.75)
+    )
+    # tile-window base predictor: the affine min of (m_loc - s) over tile
+    # t is EXACTLY mw0 + (8*Pi)*t, so the kernel derives each window base
+    # from two scalars instead of per-tile corner chains / vector mins
+    mw0 = (P0 - m0 + jnp.minimum(Pj * cc, 0.0)
+           + jnp.minimum((Pi - 1.0) * 7.0, 0.0) - 2.0)
+    dPi8 = Pi * 8.0
 
     scl = jnp.stack(
         [first_x, first_y, ego_x, ego_y, c, s,
          jnp.where(modeA, 1.0, 2.0) * eps, beta_p, u0a, m0,
-         A0, Ai, Aj, B0, Bi, Bj],
+         interior_s.astype(jnp.float32), mw0, dPi8,
+         jnp.zeros_like(mw0), jnp.zeros_like(mw0), jnp.zeros_like(mw0)],
         axis=1).astype(jnp.float32)[:, None, :]   # (B, 1, 16)
 
     kern = functools.partial(
