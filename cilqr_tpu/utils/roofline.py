@@ -1,55 +1,94 @@
-"""Speed-of-light accounting for the three hot kernels (v5e roofline).
+"""Speed-of-light accounting for the hot kernels (v5e roofline).
 
 The BASELINE north star asks for the rollout/backward kernels to be
 "benchmarked at speed-of-light per chip" — this module states what
-speed-of-light *is* for each kernel (analytic FLOPs + HBM bytes per
-invocation), which resource binds, and how far a measured time is from the
-bound.  Consumed by ``scripts/speed_of_light.py`` (the full report) and by
+speed-of-light *is* for each kernel (analytic per-invocation op and HBM
+models), which resource binds, and how far a measured time is from the
+bound.  Consumed by ``scripts/speed_of_light.py`` (the full report) and
 ``cilqr_tpu.benchmark`` (the ``mega_pct_of_sol`` headline field).
 
-Peak numbers (TPU v5e, one chip — public specs; the VPU number is derived,
-see below):
+Peak numbers (TPU v5e, one chip):
 
-* HBM bandwidth: 819 GB/s.
-* MXU: 197 TFLOP/s bf16 (f32 operands are truncated to bf16 by default;
-  ``precision=HIGHEST`` 3-pass costs ~1/6 of that — noted where relevant).
-* VPU: the spec sheets publish no VPU number.  Derivation: 8x128 lanes x
-  4 ALUs x 2 FLOPs (FMA) x ~0.94 GHz core clock ~= **7.7 TFLOP/s** f32.
-  Transcendentals (exp, sin/cos, sqrt, rsqrt) retire ~1 per lane per
-  ``TRANSCENDENTAL_SLOTS`` VPU issue slots, so a kernel's VPU-bound time is
-  ``(flops + TRANSCENDENTAL_SLOTS * transcendentals) / VPU_PEAK``.
+* HBM bandwidth: 819 GB/s (public spec).
+* MXU: 197 TFLOP/s bf16 (public spec).
+* VPU: **measured** on the chip by ``scripts/microbench_vpu.py`` (the
+  chained-dispatch slope method; recorded in ``roofline_measured.json``,
+  loaded below with derived fallbacks).  Key results, replacing round 3's
+  derived 7.7 TFLOP/s and guessed 7-slot transcendentals:
 
-Accounting accuracy: the FLOP formulas below are op-counts of the actual
-kernel bodies (ops/lm_pallas.py, ops/uncertainty_pallas.py,
-ops/sample_pallas.py) at the +-20% level — select/compare/where are counted
-as 1 FLOP-slot each since they occupy VPU issue slots like adds do.
+  - a single dependent mul chain retires at 1.75e12 elem-ops/s and two
+    independent chains saturate at ~1.97e12 total — one ALU port's rate.
+    But the core co-issues across port groups: the banded propagation
+    kernel's mixed load/cmp/sel/FMA stream sustains ~7.4e12 elem-ops/s
+    in situ.  The model below is therefore a
+    TWO-PORT VLIW model: ALU-class ops (mul/add/sub/FMA, transcendentals)
+    and aux-class ops (loads, compares, selects, bitwise) issue on
+    separate port groups, each at ``PORT_RATE`` ~= 3.94e12 elem-ops/s
+    (2 ports x 1.97e12); a kernel's compute bound is
+    ``max(alu + trans, aux) / PORT_RATE``.  This model reproduces the
+    propagation kernel's measured time to ~5% (its calibration anchor).
+  - exp costs ~1 ALU-class op (hardware transcendental), NOT 7.
+  - lane gathers ~4-8 aux-class ops/element; dynamic lane rolls ~11;
+    (128,128) transposes ~15.
+
+Model accuracy: op-counts below are code-derived at the +-30% level; a
+measured figure above ~70% of bound should be read as "at the ceiling",
+and the remaining gap in serial kernels (the mega solve) is DEPENDENCY
+LATENCY — its Riccati/LM chains cannot fill both ports every cycle — not
+issue-slot count.
 """
 
 from __future__ import annotations
 
-import dataclasses
+import json
+import os
 from typing import NamedTuple
 
 HBM_BW = 819e9           # B/s, v5e public spec
 MXU_BF16 = 197e12        # FLOP/s, v5e public spec
-VPU_PEAK = 7.7e12        # FLOP/s f32, derived (see module docstring)
-TRANSCENDENTAL_SLOTS = 7  # VPU issue slots charged per exp/sin/cos/sqrt
+
+_MEASURED_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                              "roofline_measured.json")
+_MEASURED: dict = {}
+if os.path.exists(_MEASURED_PATH):
+    with open(_MEASURED_PATH) as _f:
+        _MEASURED = json.load(_f)
+
+#: per-port elementwise op rate (measured, saturated independent chains)
+SLOT_RATE = float(_MEASURED.get("slot_rate", 1.97e12))
+PORTS = int(_MEASURED.get("ports", 2))
+#: per-class issue rate for the two-port model
+PORT_RATE = PORTS * SLOT_RATE
+#: FMA FLOP/s (measured fused-FMA chains; reporting only)
+VPU_PEAK = float(_MEASURED.get("vpu_peak_flops", 2.6e12))
+#: ALU-class ops charged per exp/sin/cos/sqrt (measured ~1; clamp >= 0.5)
+TRANSCENDENTAL_SLOTS = max(0.5, float(_MEASURED.get("transcendental_slots", 1.0)))
+#: aux-class ops per gathered element (measured in situ ~4; microbench 8.3)
+GATHER_SLOTS = 4.0
+ROLL_SLOTS = float(_MEASURED.get("roll_slots_per_elem", 11.0))
+TRANSPOSE_SLOTS = float(_MEASURED.get("transpose_slots_per_elem", 15.0))
+CONSTANTS_SOURCE = _MEASURED.get("source", "derived (no measured json)")
 
 
 class KernelCost(NamedTuple):
-    """Analytic per-invocation cost and the derived roofline bound."""
+    """Analytic per-invocation cost and the derived roofline bound.
+
+    ``alu_ops`` counts mul/add/sub/FMA-class element ops, ``aux_ops``
+    loads/compares/selects/bitwise (gathers at their measured weights);
+    ``transcendentals`` are charged ``TRANSCENDENTAL_SLOTS`` ALU ops each.
+    Compute bound: ``max(alu + trans, aux) / PORT_RATE`` (two-port VLIW
+    co-issue, see module docstring)."""
 
     name: str
-    flops: float             # VPU/MXU FLOPs (FMA = 2)
-    transcendentals: float   # exp/sin/cos/sqrt/rsqrt count
+    alu_ops: float
+    aux_ops: float
+    transcendentals: float
     hbm_bytes: float         # compulsory HBM traffic (in + out)
 
     @property
     def t_compute(self) -> float:
-        """Seconds at VPU speed-of-light (these kernels are VPU kernels —
-        the mega kernel's only matmul-shaped work is expressed as lane
-        arithmetic, not MXU contractions)."""
-        return (self.flops + TRANSCENDENTAL_SLOTS * self.transcendentals) / VPU_PEAK
+        alu = self.alu_ops + TRANSCENDENTAL_SLOTS * self.transcendentals
+        return max(alu, self.aux_ops) / PORT_RATE
 
     @property
     def t_memory(self) -> float:
@@ -61,12 +100,16 @@ class KernelCost(NamedTuple):
 
     @property
     def bound(self) -> str:
-        return "VPU compute" if self.t_compute >= self.t_memory else "HBM bandwidth"
+        if self.t_memory >= self.t_compute:
+            return "HBM bandwidth"
+        alu = self.alu_ops + TRANSCENDENTAL_SLOTS * self.transcendentals
+        return "VPU ALU ports" if alu >= self.aux_ops else "VPU aux ports"
 
     def report(self, measured_s: float) -> dict:
         return {
             "kernel": self.name,
-            "flops": self.flops,
+            "alu_ops": self.alu_ops,
+            "aux_ops": self.aux_ops,
             "transcendentals": self.transcendentals,
             "hbm_bytes": self.hbm_bytes,
             "t_sol_us": round(self.t_sol * 1e6, 3),
@@ -75,6 +118,7 @@ class KernelCost(NamedTuple):
             "binding_resource": self.bound,
             "measured_us": round(measured_s * 1e6, 3),
             "pct_of_sol": round(100.0 * self.t_sol / measured_s, 1),
+            "constants": CONSTANTS_SOURCE,
         }
 
 
@@ -82,62 +126,53 @@ def mega_iteration_cost(p, S: int, M: int, K: int, has_unc: bool) -> KernelCost:
     """Per-scenario, per-LM-iteration cost of the fused solve kernel
     (``ops/lm_pallas._run_iteration`` + the forward rollout).
 
-    Phase op-counts (per horizon step, from the kernel body):
+    Phase op-counts (per horizon step, from the kernel body, split
+    ALU/aux):
 
-    * closest-point tournament (lm_pallas.py:263-319): 2 FMA + ~3
-      select/compare slots per sample (expanded local-frame form), ~8 ops of
-      frame setup, plus a 3-candidate exact refine (3 x ~(2 Horner
-      evaluations of degree-5 + rotate + distance) ~= 100 ops).
-    * obstacle barriers (:419-451): per obstacle per ego disc (2 discs):
-      ~24 FLOPs + 1 exp; plus ~8 ops of cos/sin disc-center setup (2 trig).
-    * uncertainty-map sample (:351-398, resident-map mode): the per-lane
-      block gather dominates — 4 corner copies x K lane blocks x ~3 slots
-      (compare + gather + select), plus ~30 ops of bilinear + gradient.
-    * control barriers + tracking derivs (:410-493): 4 exp + ~40 FLOPs.
-    * Riccati step (:500-631): ~470 FLOPs (Qx/Qu/Qxx/Qux/Quu chains, the
-      closed-form 2x2 eig clamp inverse (1 sqrt + 1 rsqrt + 2 div), k/K,
-      Vx'/Vxx' updates).
-    * forward rollout (riccati_pallas._fwd_kernel): ~45 FLOPs + 2 trig.
+    * closest-point tournament (lm_pallas.py:263-319): per sample 2 FMA
+      (ALU) + ~3 cmp/select (aux); ~8 frame-setup ALU; 3-candidate exact
+      refine ~70 ALU + ~30 aux.
+    * obstacle barriers (:419-451): per obstacle per ego disc ~18 ALU +
+      6 aux + 1 exp; ~8 ALU of disc-center setup (2 trig).
+    * uncertainty-map sample (:351-398): 4 corners x K lane blocks x ~3
+      aux (cmp+gather+select) + ~25 ALU bilinear + 1 exp.
+    * control barriers + tracking derivs: ~30 ALU + 10 aux + 4 exp.
+    * Riccati step (:500-631): ~440 ALU + 30 aux + 2 sqrt.
+    * forward rollout: ~40 ALU + 5 aux + 2 trig.
 
-    HBM per scenario per iteration: X/U in + out (~(N+1)*4 + N*2 f32 each
-    way) in the one-call-per-iteration mode; ~0 in the in-kernel LM loop
-    (the default — traffic is once per SOLVE, not per iteration, so the
-    figure below divides it by a typical 10-iteration solve).
+    The measured gap to this bound is dependency latency: the Riccati and
+    accept/reject chains are serial per step, so the kernel cannot fill
+    both ports every cycle; the tournament's selects co-issue with FMAs
+    (measured), refuting round 3's "select issue slots" explanation.
+
+    HBM per scenario per iteration: ~0 in the in-kernel LM loop (traffic
+    once per SOLVE; amortized over a typical 10-iteration solve).
     """
     N = p.horizon
-    closest = 8 + 7 * S + 100
-    obstacle = (8 + M * 2 * 24) if M else 0
-    obstacle_trig = 2 if M else 0
-    obstacle_exp = M * 2 if M else 0
-    unc = (4 * K * 3 + 30) if has_unc else 0
-    unc_exp = 1 if has_unc else 0
-    ctrl = 40
-    ctrl_exp = 4
-    riccati = 470
-    riccati_sqrt = 2
-    fwd = 45
-    fwd_trig = 2
-
-    per_step_flops = closest + obstacle + unc + ctrl + riccati + fwd
-    per_step_trans = obstacle_trig + obstacle_exp + unc_exp + ctrl_exp + riccati_sqrt + fwd_trig
+    alu = (2 * S + 8 + 70) + ((8 + M * 2 * 18) if M else 0) \
+        + ((25) if has_unc else 0) + 30 + 440 + 40
+    aux = (3 * S + 30) + ((M * 2 * 6) if M else 0) \
+        + ((4 * K * 3) if has_unc else 0) + 10 + 30 + 5
+    trans = (2 + (M * 2 if M else 0)) + (1 if has_unc else 0) + 4 + 2 + 2
     xu_bytes = 4 * ((N + 1) * 4 + N * 2) * 2  # in + out
     return KernelCost(
         name="lm_mega_iteration",
-        flops=float(N * per_step_flops),
-        transcendentals=float(N * per_step_trans),
+        alu_ops=float(N * alu),
+        aux_ops=float(N * aux),
+        transcendentals=float(N * trans),
         hbm_bytes=xu_bytes / 10.0,  # amortized over the in-kernel LM loop
     )
 
 
 def propagation_cost(cp, rows: int, cols: int, band_plan=None) -> KernelCost:
     """Per-map cost of the uncertainty propagation kernel
-    (``ops/uncertainty_pallas``): per (cell, window offset) the inside test
-    + correlated-Gaussian weight is ~12 FLOPs + 1 exp
-    (``_accumulate``'s body), over the full (2R+1)^2 window or the banded
-    disc-cut offsets; plus ~10 ops/cell of field setup and the finish
-    division.  HBM: prior (padded) + sx/sy/rho/psd fields in, map out —
-    7 full maps of f32 (the kernel's own CostEstimate bytes model).
-    """
+    (``ops/uncertainty_pallas._accumulate``): per (cell, window offset)
+    6 ALU (zx, q-chain x2, exp-arg mul, num-FMA, den-add) + 1 exp + ~7 aux
+    (prior load, 4 cmp/and masks, select), plus ~10 ALU/cell of setup.
+    The banded kernel measures ~55% of this bound (B=4096, K-slope
+    timing) — the residual is sublane-group masking overhead in the
+    aligned row loop and per-band boundary work the per-offset model
+    ignores.  HBM: prior (padded) + sx/sy/rho/psd fields in, map out."""
     if band_plan is not None and band_plan.bands:
         offsets = 0
         for b, (_, br, Rb) in enumerate(band_plan.bands):
@@ -161,31 +196,37 @@ def propagation_cost(cp, rows: int, cols: int, band_plan=None) -> KernelCost:
         offsets = (2 * R + 1) ** 2 * rows * cols
     return KernelCost(
         name="uncertainty_propagation",
-        flops=float(offsets * 12 + rows * cols * 10),
+        alu_ops=float(offsets * 6 + rows * cols * 10),
+        aux_ops=float(offsets * 7),
         transcendentals=float(offsets),
         hbm_bytes=float(4 * rows * cols * 7),
     )
 
 
 def resample_cost(rows: int, cols: int, res_v: float, res_g: float,
-                  gH: int, gW: int) -> KernelCost:
-    """Per-map cost of the window-gather prior resample
-    (``ops/sample_pallas``): per 8x128 output tile the kernel walks a
-    WR-row window of the VMEM-resident global map with ~3 slot-ops per
-    (window row, output element) — gather + select + blend (the kernel's
-    own CostEstimate model, sample_pallas.py:177-181).  HBM: the global map
-    is read once (shared across the scenario batch — charged per map here,
-    so the per-scenario figure is conservative) plus the output tiles.
-    """
+                  gH: int, gW: int, batch: int = 1) -> KernelCost:
+    """Per-map cost of the shear-decomposition prior resample
+    (``ops/sample_pallas._kernel_shear``): a whole-scenario sheared-map
+    build (one multi-lane-tile gather of (128,128) + one transpose) plus,
+    per 8x128 output tile, ~14 ALU of index planes and OFF gather+select
+    pairs (aux).  HBM: both map orientations are read once per BATCH
+    (VMEM-resident across grid steps) — amortized over ``batch`` — plus
+    the per-map output tiles."""
     from cilqr_tpu.ops import sample_pallas as sp
 
     T = -(-rows // sp._TS)
-    WR = sp._window_rows(res_v, res_g, cols)
-    Hp = -(-gH // sp._TS) * sp._TS
-    Wp = -(-gW // sp._TL) * sp._TL
+    OFF, _ = sp._shear_offsets(rows, cols, res_v, res_g)
+    Hp128 = -(-gH // sp._TL) * sp._TL
+    ntile = Hp128 // sp._TL
+    build_alu = sp._TL * sp._TL * 4          # sig/idx planes
+    build_aux = sp._TL * sp._TL * (ntile * GATHER_SLOTS + TRANSPOSE_SLOTS)
+    tile_alu = T * sp._TS * sp._TL * 14      # planes + floors
+    tile_aux = T * sp._TS * sp._TL * (8 + OFF * (GATHER_SLOTS + 1))
     return KernelCost(
-        name="prior_resample",
-        flops=float(T * WR * 3 * sp._TS * sp._TL),
+        name="prior_resample_shear",
+        alu_ops=float(build_alu + tile_alu),
+        aux_ops=float(build_aux + tile_aux),
         transcendentals=0.0,
-        hbm_bytes=float(4 * (Hp * Wp + T * sp._TS * sp._TL)),
+        hbm_bytes=float(4 * (2 * gH * gW / max(batch, 1)
+                             + T * sp._TS * sp._TL)),
     )
