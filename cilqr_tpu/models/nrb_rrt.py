@@ -55,6 +55,16 @@ class NRBParams:
     n_acc: int = 3
     goal_bias: float = 0.3       # probability of sampling the plan end
     lat_max: float = 3.0         # lateral sampling band around the ref line
+    # corridor-feasible band override (relative to the reference line):
+    # when set, lateral targets sample uniform(lat_lo, lat_hi) instead of
+    # +-lat_max.  A planner knows its lane boundaries from the route/map;
+    # without this, a narrow-corridor scenario (the 2.1 m gauntlet lane)
+    # collided 10/10 at sigma=0 purely because +-3 m targets sat inside
+    # the walls — measuring sampler misconfiguration, not the DR-margin
+    # wall-blindness the comparison axis is about.  Derived per scenario
+    # by ``sim.runner.nrb_params_for_scenario``.
+    lat_lo: float = None
+    lat_hi: float = None
     risk_alpha: float = 0.05     # per-constraint admissible collision risk
     sigma_growth: float = 0.5    # sigma_pos(t) = sigma0 * sqrt(1 + growth*t*dt)
     collision_margin: float = 0.3
@@ -196,7 +206,9 @@ def plan_step(
 
         # ---- sample a target (goal-biased, ref-line band) ----
         j = jax.random.randint(k_s, (), 0, W)
-        lat = jax.random.uniform(k_lat, (), dtype, -np_.lat_max, np_.lat_max)
+        lat_lo = -np_.lat_max if np_.lat_lo is None else np_.lat_lo
+        lat_hi = np_.lat_max if np_.lat_hi is None else np_.lat_hi
+        lat = jax.random.uniform(k_lat, (), dtype, lat_lo, lat_hi)
         samp = jnp.stack([wx[j] + lat * nx[j], wy[j] + lat * ny[j]])
         use_goal = jax.random.uniform(k_goal, (), dtype) < np_.goal_bias
         target = jnp.where(use_goal, goal, samp)

@@ -141,6 +141,34 @@ def make_plan_step(
     raise ValueError(f"unknown algorithm {algorithm!r}; expected one of {ALGORITHMS}")
 
 
+def nrb_params_for_scenario(p: SolverParams, scenario, base=None):
+    """Corridor-feasible NRB-RRT sampling band for a scenario.
+
+    Restricts lateral target sampling to the scenario's drivable band
+    (``Scenario.lat_band`` — the wall inner faces) minus the ego
+    half-width + margin: lane-boundary knowledge every planner has from
+    the route/map, even when its RISK model is (by design) blind to the
+    costmap.  Without this the 2.1 m gauntlet lane collided 10/10 at
+    sigma=0 because +-3 m lateral targets sat inside the walls, which
+    measured sampler misconfiguration rather than the DR-margin
+    wall-blindness the comparison axis (batch_dataprocess.py:458-463) is
+    about.  No band (or a degenerate one) keeps ``base`` unchanged."""
+    import dataclasses as _dc
+
+    from cilqr_tpu.models import nrb_rrt
+
+    base = base if base is not None else nrb_rrt.NRBParams()
+    band = getattr(scenario, "lat_band", None)
+    if band is None:
+        return base
+    half = p.width / 2.0 + base.collision_margin
+    lo = max(-base.lat_max, float(band[0]) + half)
+    hi = min(base.lat_max, float(band[1]) - half)
+    if hi <= lo:
+        return base
+    return _dc.replace(base, lat_lo=lo, lat_hi=hi)
+
+
 def run_experiment_batch(
     p: SolverParams,
     noise: NoiseParams,
@@ -178,6 +206,8 @@ def run_experiment_batch(
     plan, n = rp.pad_global_plan(p, plan_np, dtype=dtype)
     ob, obs_xyyaw, obs_size, obs_mask = build_scenario_inputs(p, scenario, dtype)
     x0j = jnp.asarray(x0, dtype)
+    if algorithm == "nrb_rrt" and nrb_params is None:
+        nrb_params = nrb_params_for_scenario(p, scenario)
     plan_step = make_plan_step(
         algorithm, p, noise, plan, n, obstacles=ob, unc_map=unc_map,
         frenet_params=frenet_params, cc_params=cc_params,

@@ -104,6 +104,12 @@ class Scenario:
     start: Tuple[float, float, float, float] = (70.0, -306.74, 4.0, 0.0)
     walls_xyyaw: np.ndarray = dataclasses.field(default_factory=_no_walls)
     wall_size: Tuple[float, float] = (90.0, 0.4)
+    #: drivable lateral band (wall inner faces) relative to the reference
+    #: line — lane-boundary knowledge every planner has from the route/map
+    #: (rotation-invariant, carried through ``rotate_scenario``).  Sampling
+    #: planners restrict lateral targets to it minus the ego half-width
+    #: (``runner.nrb_params_for_scenario``); None = unbounded.
+    lat_band: Tuple[float, float] = None
 
     @property
     def n_obstacles(self) -> int:
@@ -151,6 +157,7 @@ def make_gauntlet(
         start=(70.0, y_center, 4.0, 0.0),
         walls_xyyaw=walls,
         wall_size=(x_span[1] - x_span[0], wall_thickness),
+        lat_band=(float(wall_faces[0]), float(wall_faces[1])),
     )
 
 

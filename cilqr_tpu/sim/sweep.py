@@ -143,6 +143,9 @@ def make_cell_fn(
         p, scenario, dtype)
     x0j = jnp.asarray(x0, dtype)
     consumes_map = algorithm in MAP_CONSUMERS
+    if algorithm == "nrb_rrt" and nrb_params is None:
+        # corridor-feasible lateral sampling (see nrb_params_for_scenario)
+        nrb_params = runner.nrb_params_for_scenario(p, scenario)
 
     band_plan = None
     g_res = None

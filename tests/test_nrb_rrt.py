@@ -107,3 +107,41 @@ def test_closed_loop_via_runner(ego_state, global_plan):
     assert np.isfinite(np.asarray(xf)).all()
     assert float(xf[0]) > float(ego_state[0])
     assert not bool(np.asarray(rec.collided).any())
+
+
+def test_corridor_band_derivation():
+    """nrb_params_for_scenario: gauntlet wall faces minus ego half-width +
+    margin; band-less scenarios keep the +-lat_max default."""
+    p = SolverParams()
+    sc = scenarios.make_gauntlet()
+    np_ = runner.nrb_params_for_scenario(p, sc)
+    half = p.width / 2.0 + np_.collision_margin
+    assert np_.lat_lo == pytest.approx(-2.1 + half)
+    assert np_.lat_hi == pytest.approx(3.0)  # 5.0 - half clipped by lat_max
+    assert np_.lat_lo > -2.1 and np_.lat_hi < 5.0
+
+    plain = scenarios.Scenario("t", np.array([[115.0, -305.0, 0.0]]))
+    np_plain = runner.nrb_params_for_scenario(p, plain)
+    assert np_plain.lat_lo is None and np_plain.lat_hi is None
+
+
+def test_gauntlet_sigma0_plans_inside_corridor(global_plan):
+    """Regression (round-3 verdict item 3): at sigma=0 the gauntlet cell
+    must not be sampler-infeasible.  With the corridor band the planner
+    finds admissible edges and its trajectory stays off both wall faces;
+    the old +-3 m sampling aimed most targets inside the lower wall."""
+    p = dataclasses.replace(SolverParams(), horizon=30)
+    sc = scenarios.make_gauntlet()
+    ob, _, _, _ = runner.build_scenario_inputs(p, sc, jnp.float64)
+    plan_xy, n = rp.pad_global_plan(p, global_plan, dtype=jnp.float64)
+    np_ = runner.nrb_params_for_scenario(p, sc)
+    sig0 = jnp.asarray([0.0, 0.0, 0.0])
+    y_ref = -306.74
+    half_w = p.width / 2.0
+    for x_ego in (85.0, 95.0, 110.0, 118.0):
+        ego = jnp.asarray([x_ego, y_ref, 4.0, 0.0], jnp.float64)
+        res = nrb_rrt.plan_step(p, np_, plan_xy, n, ego, ob, None, sig0)
+        assert float(res.lamb) == 1.0, f"no admissible path from x={x_ego}"
+        lat = np.asarray(res.X[:, 1]) - y_ref
+        assert lat.min() > -2.1 + half_w - 1e-6
+        assert lat.max() < 5.0 - half_w + 1e-6
