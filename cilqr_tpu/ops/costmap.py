@@ -312,9 +312,13 @@ def cell_sigma_rho(
     with the vehicle (ARCHITECTURE §1 rule 3), and the propagation weights
     MAP-frame offsets — the covariance must live in the map frame:
     cov_m = R(-yaw) cov_g R(yaw), whose lever vector is R(-yaw) g_g =
-    R'(0) C = (-Cy, Cx), yaw-independent (the positional diag part is
-    isotropic in every supported configuration, sigma_x == sigma_y up to
-    the launch defaults, so it needs no rotation).  Carrying the
+    R'(0) C = (-Cy, Cx), yaw-independent.  The positional diag part is
+    rotated too (advisor r3): R(-yaw) diag(sx^2, sy^2) R(yaw) in the
+    delta form d = sx^2 - sy^2 (xx: sx^2 - d s^2, yy: sy^2 + d s^2,
+    xy: -d s c), which is EXACT for anisotropic sigmas and bit-identical
+    to the historical isotropic path when d == 0 (the launch defaults) —
+    the terms reduce to sx^2, sy^2, +0.0 with no (c^2+s^2) rounding.
+    Carrying the
     global-frame g into the rotated grid mis-rotates every smear ellipse
     by -yaw — invisible at yaw ~ 0 (all axis-aligned scenarios) and first
     caught by the rotated-gauntlet production sweep (docs/BASELINES.md),
@@ -346,9 +350,19 @@ def cell_sigma_rho(
         s_x, s_y, s_t = cp.sigma_x, cp.sigma_y, cp.sigma_theta
     else:
         s_x, s_y, s_t = sigmas
-    sx = jnp.sqrt(s_x**2 + s_t**2 * u)
-    sy = jnp.sqrt(s_y**2 + s_t**2 * v)
-    rho = s_t**2 * t / (sx * sy)
+    if faithful:
+        dxx = dyy = dxy = 0.0  # reference form: unrotated diag
+    else:
+        # map-frame rotation of the translational diag (delta form; see
+        # docstring) — zero contribution, bit-exactly, when s_x == s_y
+        sin_y, cos_y = jnp.sin(ego_yaw), jnp.cos(ego_yaw)
+        d = s_x**2 - s_y**2
+        dxx = -d * sin_y * sin_y
+        dyy = d * sin_y * sin_y
+        dxy = -d * sin_y * cos_y
+    sx = jnp.sqrt(s_x**2 + dxx + s_t**2 * u)
+    sy = jnp.sqrt(s_y**2 + dyy + s_t**2 * v)
+    rho = (dxy + s_t**2 * t) / (sx * sy)
     return sx, sy, rho
 
 

@@ -299,20 +299,30 @@ def summarize_cell(rec, sc: scenarios.Scenario, p: SolverParams,
     wc = wall_clearance(
         rec if isinstance(rec, dict) else rec._asdict(), sc, p.width,
         ego_length=p.length)
+    run_collided = collided.sum(axis=-1) > 0
     row = {
         "sigma_xy": float(s_xy),
         "sigma_theta": round(float(s_th), 4),
         "algorithm": algo,
-        "collision_runs": int((collided.sum(axis=-1) > 0).sum()),
+        "collision_runs": int(run_collided.sum()),
         "n_runs": n_runs,
+        # per-run bitmask: worlds are shared across algorithms at each
+        # sigma (identical noise draws), so paired (McNemar-style)
+        # comparisons across algorithm rows are exact
+        "collided_mask": "".join("1" if c else "0" for c in run_collided),
         "velocity_mean": round(float(np.mean(per_run["velocity"].mean)), 3),
         "min_obstacle_distance": round(
             float(np.min(per_run["distance_to_obstacles"].min)), 3),
         "mean_jerk": round(float(np.mean(per_run["mean_jerk"])), 4),
     }
     if wc is not None:
-        row["min_wall_clearance"] = round(float(wc.min()), 3)
-        row["mean_min_wall_clearance"] = round(float(wc.mean()), 3)
+        # drop runs never longitudinally alongside any wall (+inf rows) —
+        # round()ing them straight in would emit the non-standard JSON
+        # token Infinity (advisor r3)
+        wcf = wc[np.isfinite(wc)]
+        if wcf.size:
+            row["min_wall_clearance"] = round(float(wcf.min()), 3)
+            row["mean_min_wall_clearance"] = round(float(wcf.mean()), 3)
     return row
 
 

@@ -112,6 +112,27 @@ print(f"full-stack batched (B={Bfs}, 2 cycles): {time.perf_counter()-t0:.1f}s "
 assert np.isfinite(np.asarray(xf)).all()
 assert 0.0 <= float(jnp.max(recs["uncertainty_max"])) <= 100.0
 
+# chip-tier bit-identity: the aligned-group dynamic-row propagation mode
+# (Mosaic pl.multiple_of dynamic sublane starts on rank-3 refs) vs the
+# static unroll, COMPILED on the real chip — interpret-mode coverage alone
+# cannot catch Mosaic lowering regressions (advisor r3)
+balign = 64
+geomB_a = jax.tree.map(
+    lambda a: jnp.broadcast_to(a, (balign,) + a.shape),
+    gridmap.make_geom((cp.x_position, cp.y_position), cp.resolution,
+                      cp.rows, cp.cols, dtype=f32))
+pri_a = jnp.asarray(np.random.default_rng(7).uniform(0, 100, (balign, cp.rows, cp.cols)), f32)
+yaws_a = jnp.linspace(-3.0, 3.0, balign).astype(f32)
+sig_a = jnp.broadcast_to(jnp.asarray([0.16, 0.16, 0.017], f32), (balign, 3))
+bp_small = uncertainty_pallas.make_band_plan(
+    cp, cp.rows, cp.cols, (cp.x_position, cp.y_position), (0.16, 0.16, 0.017))
+out_unroll = jax.jit(lambda pr: uncertainty_pallas.propagate_uncertainty_tpu_banded(
+    cp, pr, geomB_a, yaws_a, sig_a, bp_small, unroll_rows=True))(pri_a)
+out_align = jax.jit(lambda pr: uncertainty_pallas.propagate_uncertainty_tpu_banded(
+    cp, pr, geomB_a, yaws_a, sig_a, bp_small, unroll_rows="aligned"))(pri_a)
+np.testing.assert_array_equal(np.asarray(out_unroll), np.asarray(out_align))
+print("aligned-group row loop == static unroll: bit-identical on chip")
+
 # Monte-Carlo fast path (per-scenario sampled covariances)
 from cilqr_tpu.parallel import monte_carlo as mc_mod
 

@@ -401,3 +401,45 @@ def test_build_local_costmap_batched_sample_kernel_path(global_plan):
         np.asarray(fast.uncertainty_map), np.asarray(ref.uncertainty_map),
         rtol=1e-6, atol=1e-4,
     )
+
+
+def test_cell_sigma_rho_anisotropic_rotates_diag():
+    """Advisor r3: anisotropic (sigma_x != sigma_y) translational
+    covariance must rotate into the map frame.  Check the implied 2x2
+    covariance against the direct R(-yaw) diag R(yaw) + lever form, and
+    that the isotropic path is bit-identical to the historical formula."""
+    cp = small_costmap_params()
+    xs = jnp.linspace(-2.0, 3.0, 7)
+    ys = jnp.linspace(-1.5, 1.5, 5)
+
+    for yaw in (0.0, 0.7, -2.2, np.pi / 2):
+        sx_c, sy_c, rho = costmap.cell_sigma_rho(
+            cp, xs, ys, jnp.asarray(yaw), sigmas=(0.3, 0.1, 0.05))
+        s, c = np.sin(yaw), np.cos(yaw)
+        R = np.array([[c, -s], [s, c]])
+        cov_g = np.diag([0.3**2, 0.1**2])
+        cov_m_t = R.T @ cov_g @ R
+        for i, Cx in enumerate(np.asarray(xs)):
+            for j, Cy in enumerate(np.asarray(ys)):
+                g_m = np.array([-Cy, Cx])
+                cov_m = cov_m_t + 0.05**2 * np.outer(g_m, g_m)
+                np.testing.assert_allclose(
+                    float(sx_c[i, j]) ** 2, cov_m[0, 0], rtol=1e-5)
+                np.testing.assert_allclose(
+                    float(sy_c[i, j]) ** 2, cov_m[1, 1], rtol=1e-5)
+                np.testing.assert_allclose(
+                    float(rho[i, j]) * float(sx_c[i, j]) * float(sy_c[i, j]),
+                    cov_m[0, 1], rtol=1e-5, atol=1e-9)
+
+    # isotropic: bit-identical to the historical (unrotated) formula
+    sx_c, sy_c, rho = costmap.cell_sigma_rho(
+        cp, xs, ys, jnp.asarray(0.9), sigmas=(0.16, 0.16, 0.017))
+    u = (-ys[None, :]) ** 2 + 0.0 * xs[:, None]
+    v = (xs[:, None]) ** 2 + 0.0 * ys[None, :]
+    t = (-ys[None, :] + 0.0 * xs[:, None]) * (xs[:, None] + 0.0 * ys[None, :])
+    sx_ref = jnp.sqrt(0.16**2 + 0.017**2 * u)
+    sy_ref = jnp.sqrt(0.16**2 + 0.017**2 * v)
+    np.testing.assert_array_equal(np.asarray(sx_c), np.asarray(sx_ref))
+    np.testing.assert_array_equal(np.asarray(sy_c), np.asarray(sy_ref))
+    np.testing.assert_array_equal(
+        np.asarray(rho), np.asarray(0.017**2 * t / (sx_ref * sy_ref)))
