@@ -32,8 +32,17 @@ from jax.experimental.pallas import tpu as pltpu
 
 from cilqr_tpu.utils.params import SolverParams
 
-# scenario tile: sublanes x lanes
-_TS, _TL = 8, 128
+# Scenario tile: sublanes x lanes.  The native VPU register is (8, 128);
+# widening the tile to (16, 128) makes every plane op TWO independent
+# register ops — two scenario dependency chains interleaved through the
+# serial Riccati / accept-reject pipeline (the mega kernel's measured
+# binder is dependency latency, not op count: docs/ARCHITECTURE.md §7).
+# Env knob CILQR_TPU_TILE_SUBLANES (read once at import; callers pad to
+# TILE) so the ILP experiment is a data-layout change, not a kernel fork.
+import os as _os
+
+_TS = int(_os.environ.get("CILQR_TPU_TILE_SUBLANES", "8"))
+_TL = 128
 TILE = _TS * _TL
 
 

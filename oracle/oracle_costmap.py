@@ -70,13 +70,21 @@ def propagate(
                 g1 = -s * Cx - c * Cy
                 g2 = c * Cx - s * Cy
                 t = s * c * (Cx * Cx - Cy * Cy) + Cx * Cy * (s * s - c * c)
+                dxx = dyy = dxy = 0.0  # reference form: unrotated diag
             else:
                 g1, g2 = -Cy, Cx
                 t = g1 * g2
+                # map-frame rotation of the translational diag, in the same
+                # delta form as cell_sigma_rho (exact for anisotropic
+                # sigmas; bit-exactly zero when sigma_x == sigma_y)
+                d = cp.sigma_x**2 - cp.sigma_y**2
+                dxx = -d * s * s
+                dyy = d * s * s
+                dxy = -d * s * c
             u, v = g1 * g1, g2 * g2
-            sx = np.sqrt(cp.sigma_x**2 + cp.sigma_theta**2 * u)
-            sy = np.sqrt(cp.sigma_y**2 + cp.sigma_theta**2 * v)
-            rho = cp.sigma_theta**2 * t / (sx * sy)
+            sx = np.sqrt(cp.sigma_x**2 + dxx + cp.sigma_theta**2 * u)
+            sy = np.sqrt(cp.sigma_y**2 + dyy + cp.sigma_theta**2 * v)
+            rho = (dxy + cp.sigma_theta**2 * t) / (sx * sy)
             if abs(rho) >= 1.0:
                 out[i, j] = prior[i, j]
                 continue

@@ -146,6 +146,45 @@ def test_rotated_gauntlet_separation(sweep_setup):
     assert aware_clr > blind_clr + 0.05, (tot, "clearance separation")
 
 
+def test_reference_ratio_pooled_separation(sweep_setup):
+    """Behavior AT THE REFERENCE'S OWN NOISE DESIGN RATIO
+    (sigma_theta/sigma_xy = 0.017/0.16, Experiment.launch:7-12), pooled
+    over seeds (VERDICT r3 #4: the reference-ratio claim must carry
+    statistical weight, not a lucky n=10 cell).
+
+    The production-resolution n=50 answer (docs/sweep_r4_n50 +
+    docs/BASELINES.md) is nuanced: at the launch design noise both
+    variants are SAFE (0/50); at 3x design noise the near-isotropic
+    matched smear floods the corridor and the aware planner collides MORE
+    (19 vs 14) — awareness pays only in the heading-structured regime
+    (ratio 0.2, the tests above).  This COARSE CPU config sits in a milder
+    regime (0.4 m cells smooth the flood), where the aware planner's
+    clearance margin separates in every seed measured (gaps
+    0.163/0.144/0.138, seeds 0-2) with pooled collisions 4 vs 6 at n=30.
+    Pins BOTH harness determinism and the config-dependence story: margins
+    asserted loosely (clearance > +0.05/seed, collisions <= blind+1
+    pooled) so seed drift doesn't flake the tier."""
+    p, cp, sc, gm, gg = sweep_setup
+    pooled = {"cilqr": 0, "cilqr_base": 0}
+    clr = {"cilqr": [], "cilqr_base": []}
+    for seed in (0, 1, 2):
+        rows = sweep.run_sigma_sweep(
+            [SIGMA_HI], algorithms=("cilqr", "cilqr_base"), scenario=sc,
+            p=p, cp=cp, global_map=gm, global_geom=gg, n_runs=10,
+            n_cycles=140, seed=seed, use_pallas=False,
+            sigma_theta_ratio=0.017 / 0.16)
+        by = {r["algorithm"]: r for r in rows}
+        pooled["cilqr"] += by["cilqr"]["collision_runs"]
+        pooled["cilqr_base"] += by["cilqr_base"]["collision_runs"]
+        for a in clr:
+            clr[a].append(by[a]["mean_min_wall_clearance"])
+        # the clearance margin holds per-seed at this coarse config
+        assert (by["cilqr"]["mean_min_wall_clearance"]
+                > by["cilqr_base"]["mean_min_wall_clearance"] + 0.05), rows
+    assert pooled["cilqr"] <= pooled["cilqr_base"] + 1, (pooled, clr)
+    assert np.mean(clr["cilqr"]) > np.mean(clr["cilqr_base"]) + 0.1, clr
+
+
 def test_wall_clearance_rotated_obb():
     """OBB wall clearance: a hand-built rotated corridor where the answer
     is known in closed form."""
