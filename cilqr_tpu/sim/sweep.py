@@ -335,6 +335,35 @@ def summarize_cell(rec, sc: scenarios.Scenario, p: SolverParams,
     return row
 
 
+def paired_sign_test(row_a: dict, row_b: dict) -> dict:
+    """Exact two-sided sign test on the paired per-run collision outcomes
+    of two sweep rows that shared their noise worlds.
+
+    Every algorithm column at a given sigma runs the IDENTICAL noise draws
+    (same per-run keys), so the two ``collided_mask`` strings are paired
+    observations; the discordant counts (worlds that killed only A / only
+    B) carry all the comparative information (McNemar).  Returns the
+    counts and the exact binomial two-sided p-value.  This is how the
+    docs/BASELINES.md n=50 significance statements are computed.
+    """
+    from math import comb
+
+    a, b = row_a["collided_mask"], row_b["collided_mask"]
+    if len(a) != len(b):
+        raise ValueError("rows have different run counts")
+    only_a = sum(1 for x, y in zip(a, b) if x == "1" and y == "0")
+    only_b = sum(1 for x, y in zip(a, b) if x == "0" and y == "1")
+    both = sum(1 for x, y in zip(a, b) if x == "1" and y == "1")
+    n = only_a + only_b
+    if n == 0:
+        p = 1.0
+    else:
+        tail = sum(comb(n, k) for k in range(0, min(only_a, only_b) + 1))
+        p = min(1.0, 2.0 * tail / 2.0**n)
+    return {"only_a": only_a, "only_b": only_b, "both": both,
+            "n_discordant": n, "p_value": p}
+
+
 def format_table(rows: list[dict]) -> str:
     """Markdown table for docs/BASELINES.md."""
     cols = ["sigma_xy", "algorithm", "collision_runs", "min_wall_clearance",

@@ -79,3 +79,33 @@ def test_analyze_run_and_batch(tmp_path):
     lines = csv.read_text().strip().split("\n")
     assert len(lines) == 5
     assert lines[0].startswith("run,")
+
+
+def test_paired_sign_test_exact():
+    """sweep.paired_sign_test: exact binomial two-sided p on discordant
+    worlds (shared noise draws make algorithm columns paired — the
+    docs/BASELINES.md n=50 significance machinery)."""
+    from cilqr_tpu.sim.sweep import paired_sign_test
+
+    # 0 vs 19 discordant: p = 2 * C(19,0)/2^19
+    a = {"collided_mask": "0" * 19 + "1" * 10 + "0" * 21}
+    b = {"collided_mask": "1" * 19 + "1" * 10 + "0" * 21}
+    r = paired_sign_test(a, b)
+    assert (r["only_a"], r["only_b"], r["both"]) == (0, 19, 10)
+    np.testing.assert_allclose(r["p_value"], 2.0 / 2**19)
+
+    # symmetric case: swapping rows swaps counts, same p
+    r2 = paired_sign_test(b, a)
+    assert (r2["only_a"], r2["only_b"]) == (19, 0)
+    np.testing.assert_allclose(r2["p_value"], r["p_value"])
+
+    # 5 vs 19 discordant reproduces the BASELINES ratio-0.2 sigma-0.5 cell
+    a = {"collided_mask": "1" * 5 + "0" * 19 + "0" * 26}
+    b = {"collided_mask": "0" * 5 + "1" * 19 + "0" * 26}
+    r = paired_sign_test(a, b)
+    assert r["n_discordant"] == 24
+    np.testing.assert_allclose(r["p_value"], 0.006611, atol=1e-5)
+
+    # no discordance -> p = 1
+    same = {"collided_mask": "1100"}
+    assert paired_sign_test(same, same)["p_value"] == 1.0
