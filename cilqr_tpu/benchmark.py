@@ -232,7 +232,10 @@ def main():
         from cilqr_tpu.utils.params import CostmapParams, NoiseParams
 
         cpf = CostmapParams()
-        Bfs = int(os.environ.get("BENCH_FS_BATCH", "4096"))
+        # B=8192 is the measured throughput knee on one v5e chip (round 4:
+        # 57.3k @ 4096, 60.7k @ 8192, 53.1k @ 16384 cycles/s — above the
+        # knee the per-scenario costmap working set starts thrashing HBM)
+        Bfs = int(os.environ.get("BENCH_FS_BATCH", "8192"))
         n_cyc = 5
         gmap = jnp.zeros((256, 256), jnp.float32)
         ggeom = gridmap.make_geom(
