@@ -287,31 +287,11 @@ def sweep_mod_algorithms():
 
 
 def _enable_compilation_cache():
-    """Persistent XLA/Mosaic compilation cache for every CLI command.
+    """Persistent compilation cache for every CLI command — shared policy
+    with tests/conftest.py (utils/compile_cache.py has the numbers)."""
+    from cilqr_tpu.utils.compile_cache import enable_compilation_cache
 
-    The aligned-group propagation kernels the high-sigma production sweeps
-    need cost ~100 s to compile standalone (and minutes embedded in the
-    full sweep program); the persistent cache cuts a warm re-compile to
-    ~20 s (tracing/lowering only — measured through the axon backend,
-    100.2 -> 21.3 s across processes).  Override the location with
-    CILQR_TPU_CACHE_DIR; set it empty to disable."""
-    import os
-
-    cache_dir = os.environ.get(
-        "CILQR_TPU_CACHE_DIR",
-        os.path.join(os.path.expanduser("~"), ".cache", "cilqr_tpu",
-                     "jax_cache"),
-    )
-    if not cache_dir:
-        return
-    try:
-        import jax
-
-        jax.config.update("jax_compilation_cache_dir", cache_dir)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
-        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
-    except Exception:
-        pass  # cache is an optimization; never block a run on it
+    enable_compilation_cache()
 
 
 def main(argv=None) -> int:

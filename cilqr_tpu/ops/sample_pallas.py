@@ -81,7 +81,7 @@ def supports(rows: int, cols: int, res_v: float, res_g: float,
     128-lane roll, and the row window fits the (padded) map height."""
     Hp = -(-H // _TS) * _TS
     Wp = -(-W // _TL) * _TL
-    if Hp * Wp * 4 > _VMEM_MAP_BYTES:
+    if (Hp + 2 * _TS) * Wp * 4 > _VMEM_MAP_BYTES:
         return False
     if cols > _TL:  # one lane tile per row band (the reference grids fit)
         return False
@@ -118,12 +118,19 @@ def _tile_window_values(t, rows: int, cols: int, res_v: float, H: int,
 
     # static-size source window at a dynamic (aligned) origin, extended by
     # _TS extra top rows so the group-gather offsets below stay >= 0 (the
-    # map block carries _TS edge-padded rows at its top; row0 may go to
-    # -_TS and the physical slice start row0 + _TS stays in range)
+    # map block carries _TS edge-padded rows at its top AND bottom; row0
+    # may go to -_TS and the physical slice [row0 + _TS, row0 + _TS + WR8)
+    # stays in range).  The upper clamp is Hp - WR8 + _TS, NOT Hp - WR8:
+    # with the tighter clamp a bottom-clipped window inflates lr to up to
+    # WR8 - 1 while the offset loop below only covers lr <= WR + s, so
+    # near-border poses silently read 0 instead of the edge-clamped map
+    # (caught by round-4 review; the extra _TS bottom pad rows make the
+    # relaxed clamp safe and restore lr <= WR - 1 when clipped).
     WR8 = WR + _TS
     Hp = -(-H // _TS) * _TS
     row0 = pl.multiple_of(
-        jnp.clip((jnp.min(ii) // _TS) * _TS - _TS, -_TS, Hp - WR8), _TS
+        jnp.clip((jnp.min(ii) // _TS) * _TS - _TS, -_TS, Hp - WR8 + _TS),
+        _TS,
     )
     col0 = jnp.min(jj)
     win = map_ref[pl.ds(row0 + _TS, WR8), :]
@@ -190,13 +197,23 @@ def supports_shear(rows: int, cols: int, res_v: float, res_g: float,
     # + window headroom must fit the 128-row scratch
     if k * math.sqrt(2.0) * (rows - 1) + 28 > _TL:
         return False
+    # whole-scenario u span must fit the scratch's 128 LANES too: the shear
+    # build covers u in [u0a, u0a + 127] and the tile gathers index it with
+    # lane_idx = u - u0a; the span bound is k*|cos|*(cols-1)+k*|sin|*(rows-1)
+    # <= k*hypot(rows-1, cols-1), plus u0a's align-down (<= 7) and the
+    # floor/corner-vs-elementwise slack (~2).  Without this check,
+    # wide-short grids (e.g. 64x126 at k=1) pass the m-axis check above and
+    # silently gather garbage for INTERIOR poses (round-4 review,
+    # reproduced: 292/8064 wrong cells at yaw=1.45).
+    if k * math.hypot(rows - 1, cols - 1) + 12 > _TL:
+        return False
     Hp8 = -(-H // _TS) * _TS
     Wp8 = -(-W // _TS) * _TS
     if Wp8 < _TL or Hp8 < _TL:
         return False
     Wp128 = -(-W // _TL) * _TL
     Hp128 = -(-H // _TL) * _TL
-    if 4 * ((Hp8 + _TS) * Wp128 + Wp8 * Hp128) > _VMEM_MAP_BYTES:
+    if 4 * ((Hp8 + 2 * _TS) * Wp128 + Wp8 * Hp128) > _VMEM_MAP_BYTES:
         return False
     return supports(rows, cols, res_v, res_g, H, W)
 
@@ -348,7 +365,7 @@ def _sample_shear(rows: int, cols: int, res_v: float, WR: int, OFF: int,
     gm32 = global_map.astype(jnp.float32)
     # same padded layout as _sample (the fallback tiles share it) plus an
     # edge-padded transpose for the mode-A shear build
-    mpad = jnp.pad(gm32, ((_TS, Hp8 - H), (0, Wp128 - W)), mode="edge")
+    mpad = jnp.pad(gm32, ((_TS, Hp8 - H + _TS), (0, Wp128 - W)), mode="edge")
     mtpad = jnp.pad(gm32.T, ((0, Wp8 - W), (0, Hp128 - H)), mode="edge")
     B = firsts.shape[0]
     T = -(-rows // _TS)
@@ -425,7 +442,7 @@ def _sample_shear(rows: int, cols: int, res_v: float, WR: int, OFF: int,
     )
     cost = pl.CostEstimate(
         flops=B * (T * 3 * 3 * _TS * _TL + 2 * _TL * _TL * 3),
-        bytes_accessed=4 * ((Hp8 + _TS) * Wp128 + Wp8 * Hp128
+        bytes_accessed=4 * ((Hp8 + 2 * _TS) * Wp128 + Wp8 * Hp128
                             + B * T * _TS * _TL),
         transcendentals=0,
     )
@@ -460,7 +477,7 @@ def _sample(rows: int, cols: int, res_v: float, WR: int, global_map, gscl,
     # _TS top rows let the window origin sit one sublane group above row 0
     # (see _tile_body's group gather)
     mpad = jnp.pad(global_map.astype(jnp.float32),
-                   ((_TS, Hp - H), (0, Wp - W)), mode="edge")
+                   ((_TS, Hp - H + _TS), (0, Wp - W)), mode="edge")
     B = firsts.shape[0]
     T = -(-rows // _TS)
     scl = jnp.concatenate([firsts, egos_cs], axis=1).astype(jnp.float32)

@@ -327,11 +327,15 @@ def summarize_cell(rec, sc: scenarios.Scenario, p: SolverParams,
     if wc is not None:
         # drop runs never longitudinally alongside any wall (+inf rows) —
         # round()ing them straight in would emit the non-standard JSON
-        # token Infinity (advisor r3)
+        # token Infinity (advisor r3).  When EVERY run is +inf the keys are
+        # still present, as explicit JSON nulls, so walled-scenario
+        # consumers indexing them unconditionally see None rather than a
+        # KeyError (round-4 review).
         wcf = wc[np.isfinite(wc)]
-        if wcf.size:
-            row["min_wall_clearance"] = round(float(wcf.min()), 3)
-            row["mean_min_wall_clearance"] = round(float(wcf.mean()), 3)
+        row["min_wall_clearance"] = (
+            round(float(wcf.min()), 3) if wcf.size else None)
+        row["mean_min_wall_clearance"] = (
+            round(float(wcf.mean()), 3) if wcf.size else None)
     return row
 
 
@@ -373,5 +377,6 @@ def format_table(rows: list[dict]) -> str:
     out = ["| " + " | ".join(have) + " |",
            "|" + "|".join("---" for _ in have) + "|"]
     for r in rows:
-        out.append("| " + " | ".join(str(r.get(c, "")) for c in have) + " |")
+        out.append("| " + " | ".join(
+            "" if r.get(c) is None else str(r[c]) for c in have) + " |")
     return "\n".join(out)

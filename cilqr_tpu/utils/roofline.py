@@ -63,8 +63,12 @@ PORT_RATE = PORTS * SLOT_RATE
 VPU_PEAK = float(_MEASURED.get("vpu_peak_flops", 2.6e12))
 #: ALU-class ops charged per exp/sin/cos/sqrt (measured ~1; clamp >= 0.5)
 TRANSCENDENTAL_SLOTS = max(0.5, float(_MEASURED.get("transcendental_slots", 1.0)))
-#: aux-class ops per gathered element (measured in situ ~4; microbench 8.3)
-GATHER_SLOTS = 4.0
+#: aux-class ops per gathered element — loaded from the measured json like
+#: every sibling constant (round-4 review: the old hardcoded 4.0 "in situ"
+#: figure ignored the microbenched 8.26 and made the resample bound ~2x
+#: optimistic; in-situ co-issue already lives in the PORT model, so the
+#: per-op weight stays the isolated measurement)
+GATHER_SLOTS = float(_MEASURED.get("gather_slots_per_elem", 8.26))
 ROLL_SLOTS = float(_MEASURED.get("roll_slots_per_elem", 11.0))
 TRANSPOSE_SLOTS = float(_MEASURED.get("transpose_slots_per_elem", 15.0))
 CONSTANTS_SOURCE = _MEASURED.get("source", "derived (no measured json)")

@@ -206,6 +206,15 @@ def main():
         "roll_slots_per_elem": round(extra("roll"), 2),
         "transpose_slots_per_elem": round(extra("tpose"), 2),
         "source": "measured" if not interpret else "interpret (NOT valid)",
+        # the two-port model interpretation (consumed by roofline.PORTS) —
+        # carried through --write so a re-measure doesn't silently drop
+        # the ports provenance (round-4 review)
+        "ports": 2,
+        "port_note": ("VLIW co-issue: mul-only chains saturate one ALU "
+                      "port at ~1.97e12 op/s (x2 independent chains; x1 = "
+                      "1.75e12, x4 spills); mixed load/cmp/sel/FMA streams "
+                      "measured in situ at up to ~7.4e12 op/s "
+                      "(propagation kernel)"),
     }
     report["constants"] = out
     print(json.dumps(report, indent=2))

@@ -21,16 +21,11 @@ jax.config.update("jax_enable_x64", True)
 
 # Persistent compilation cache: the heavy closed-loop / sharded-mesh tests
 # are compile-bound on CPU; caching XLA executables across test runs cuts
-# the full tier's wall time on any warm machine.  CILQR_TPU_CACHE_DIR=""
-# disables (e.g. to measure cold-cache behavior).
-_cache_dir = os.environ.get(
-    "CILQR_TPU_CACHE_DIR",
-    os.path.join(os.path.expanduser("~"), ".cache", "cilqr_tpu", "jax_cache"),
-)
-if _cache_dir:
-    jax.config.update("jax_compilation_cache_dir", _cache_dir)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
-    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+# the full tier's wall time on any warm machine.  Shared policy with the
+# CLI (utils/compile_cache.py); CILQR_TPU_CACHE_DIR="" disables.
+from cilqr_tpu.utils.compile_cache import enable_compilation_cache  # noqa: E402
+
+enable_compilation_cache()
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

@@ -443,3 +443,83 @@ def test_cell_sigma_rho_anisotropic_rotates_diag():
     np.testing.assert_array_equal(np.asarray(sy_c), np.asarray(sy_ref))
     np.testing.assert_array_equal(
         np.asarray(rho), np.asarray(0.017**2 * t / (sx_ref * sy_ref)))
+
+
+def test_shear_u_span_guard_and_auto_fallback():
+    """Round-4 review regression: supports_shear must bound the SCENARIO'S
+    u-axis span (the sheared scratch has 128 lanes) — wide-short grids at
+    k=1 passed the m-axis check alone and silently gathered garbage for
+    interior poses.  The guard must reject, and algo='auto' must then
+    produce exact values via the window path."""
+    import jax
+
+    from cilqr_tpu.ops import sample_pallas
+
+    rows, cols, res_v, res_g = 64, 126, 0.5, 0.5
+    H, W = 256, 256
+    assert not sample_pallas.supports_shear(rows, cols, res_v, res_g, H, W)
+    assert sample_pallas.supports(rows, cols, res_v, res_g, H, W)
+
+    rng = np.random.default_rng(11)
+    gmap = jnp.asarray(rng.uniform(0, 100, (H, W)), jnp.float32)
+    ggeom = gridmap.make_geom([0.0, 0.0], res_g, H, W, dtype=jnp.float32)
+    # the poses that reproduced the corruption pre-guard (292 and 55 wrong
+    # cells at yaw 1.45 / pi/4) plus quadrant coverage
+    ex = np.asarray([5.0, 5.0, 0.0, -8.0])
+    ey = np.asarray([3.0, 3.0, 0.0, 6.0])
+    yw = np.asarray([1.45, np.pi / 4, -2.8, 0.3])
+    B = len(ex)
+    egos = jnp.asarray(np.stack([ex, ey], -1), jnp.float32)
+    yaws = jnp.asarray(yw, jnp.float32)
+    centers = jnp.asarray(
+        np.stack([rng.uniform(-2, 4, B), rng.uniform(-2, 2, B)], -1),
+        jnp.float32)
+    geoms = jax.vmap(
+        lambda c: gridmap.make_geom(c, res_v, rows, cols, dtype=jnp.float32)
+    )(centers)
+    got = sample_pallas.sample_prior_batched_tpu(
+        geoms, rows, cols, res_v, res_g, gmap, ggeom, egos, yaws,
+        algo="auto")
+    want = jax.vmap(
+        lambda g, e, y: costmap.sample_prior(g, rows, cols, gmap, ggeom, e, y)
+    )(geoms, egos, yaws)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_window_kernel_bottom_clipped_row0_regression():
+    """Round-4 review regression: with the row window clipped at the map
+    bottom (pose at/over the low-x border -> ii near H-1), lr inflated past
+    the offset loop's coverage and the kernel returned 0 instead of the
+    border-clamped map values (840 wrong cells at the production-eligible
+    64x56@0.2 / 136x132@0.5 config).  Exactness must hold on the window
+    path AND through the shear kernel's border fallback."""
+    import jax
+
+    from cilqr_tpu.ops import sample_pallas
+
+    rows, cols, res_v, res_g = 64, 56, 0.2, 0.5
+    H, W = 136, 132
+    rng = np.random.default_rng(13)
+    gmap = jnp.asarray(rng.uniform(1.0, 100, (H, W)), jnp.float32)
+    ggeom = gridmap.make_geom([50.0, -80.0], res_g, H, W, dtype=jnp.float32)
+    # low-x border (ii ~ H-1, row0 clipped), several yaws; plus a corner
+    ex = np.asarray([16.0, 16.0, 16.0, 17.5])
+    ey = np.asarray([-80.0, -80.0, -100.0, -47.0])
+    yw = np.asarray([0.0, 2.0, -np.pi / 2, np.pi])
+    B = len(ex)
+    egos = jnp.asarray(np.stack([ex, ey], -1), jnp.float32)
+    yaws = jnp.asarray(yw, jnp.float32)
+    centers = jnp.asarray(
+        np.stack([rng.uniform(-2, 10, B), rng.uniform(-3, 3, B)], -1),
+        jnp.float32)
+    geoms = jax.vmap(
+        lambda c: gridmap.make_geom(c, res_v, rows, cols, dtype=jnp.float32)
+    )(centers)
+    want = jax.vmap(
+        lambda g, e, y: costmap.sample_prior(g, rows, cols, gmap, ggeom, e, y)
+    )(geoms, egos, yaws)
+    for algo in ("window", "shear"):
+        got = sample_pallas.sample_prior_batched_tpu(
+            geoms, rows, cols, res_v, res_g, gmap, ggeom, egos, yaws,
+            algo=algo)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
