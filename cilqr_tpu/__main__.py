@@ -274,7 +274,7 @@ def _cmd_sweep(args) -> int:
     )
     out_dir = pathlib.Path(args.out)
     out_dir.mkdir(parents=True, exist_ok=True)
-    (out_dir / "sweep.json").write_text(json.dumps(rows, indent=2))
+    (out_dir / "sweep.json").write_text(sweep_mod.rows_to_json(rows))
     (out_dir / "sweep.md").write_text(sweep_mod.format_table(rows) + "\n")
     print(sweep_mod.format_table(rows))
     return 0

@@ -41,7 +41,34 @@ from cilqr_tpu.utils.params import SolverParams
 # TILE) so the ILP experiment is a data-layout change, not a kernel fork.
 import os as _os
 
-_TS = int(_os.environ.get("CILQR_TPU_TILE_SUBLANES", "8"))
+
+def _tile_sublanes() -> int:
+    """Validated CILQR_TPU_TILE_SUBLANES: positive multiple of 8, else 8.
+
+    A malformed value must not break every entry point at import time, and
+    a non-multiple-of-8 value would violate TPU sublane tiling here and in
+    lm_pallas (Mosaic lowering errors with no useful message) — so fall
+    back to 8 with a warning, matching the never-block-a-run policy of the
+    compile cache (advisor r4)."""
+    raw = _os.environ.get("CILQR_TPU_TILE_SUBLANES", "8")
+    try:
+        ts = int(raw)
+        if ts <= 0 or ts % 8 != 0:
+            raise ValueError(f"must be a positive multiple of 8, got {ts}")
+        return ts
+    except ValueError as e:
+        import warnings
+
+        warnings.warn(
+            f"cilqr_tpu: ignoring CILQR_TPU_TILE_SUBLANES={raw!r} ({e}); "
+            f"using 8",
+            RuntimeWarning,
+            stacklevel=2,
+        )
+        return 8
+
+
+_TS = _tile_sublanes()
 _TL = 128
 TILE = _TS * _TL
 

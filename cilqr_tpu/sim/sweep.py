@@ -327,16 +327,34 @@ def summarize_cell(rec, sc: scenarios.Scenario, p: SolverParams,
     if wc is not None:
         # drop runs never longitudinally alongside any wall (+inf rows) —
         # round()ing them straight in would emit the non-standard JSON
-        # token Infinity (advisor r3).  When EVERY run is +inf the keys are
-        # still present, as explicit JSON nulls, so walled-scenario
-        # consumers indexing them unconditionally see None rather than a
-        # KeyError (round-4 review).
+        # token Infinity (advisor r3).  CONTRACT (advisor r4): when EVERY
+        # run is +inf the keys are still present, as float NaN, so numpy
+        # predicates on rows degrade gracefully (np.isfinite/np.mean
+        # propagate NaN instead of raising TypeError on None); the JSON
+        # writer (`rows_to_json`) serializes NaN as a standard null.
         wcf = wc[np.isfinite(wc)]
         row["min_wall_clearance"] = (
-            round(float(wcf.min()), 3) if wcf.size else None)
+            round(float(wcf.min()), 3) if wcf.size else float("nan"))
         row["mean_min_wall_clearance"] = (
-            round(float(wcf.mean()), 3) if wcf.size else None)
+            round(float(wcf.mean()), 3) if wcf.size else float("nan"))
     return row
+
+
+def rows_to_json(rows: list[dict]) -> str:
+    """Serialize sweep rows to STRICT JSON (indent=2).
+
+    Row floats may be NaN (the all-inf wall-clearance contract above);
+    ``json.dumps`` would emit the non-standard ``NaN`` token, so map NaN
+    to null here — the one sanctioned write path for sweep rows."""
+    import json
+
+    def _clean(v):
+        if isinstance(v, float) and not np.isfinite(v):
+            return None
+        return v
+
+    return json.dumps(
+        [{k: _clean(v) for k, v in r.items()} for r in rows], indent=2)
 
 
 def paired_sign_test(row_a: dict, row_b: dict) -> dict:
@@ -378,5 +396,7 @@ def format_table(rows: list[dict]) -> str:
            "|" + "|".join("---" for _ in have) + "|"]
     for r in rows:
         out.append("| " + " | ".join(
-            "" if r.get(c) is None else str(r[c]) for c in have) + " |")
+            "" if r.get(c) is None
+            or (isinstance(r[c], float) and not np.isfinite(r[c]))
+            else str(r[c]) for c in have) + " |")
     return "\n".join(out)

@@ -29,8 +29,25 @@ def enable_compilation_cache() -> None:
     try:
         import jax
 
+        # Fail fast on an unwritable cache dir: jax.config.update accepts
+        # any string, so a bad CILQR_TPU_CACHE_DIR would otherwise surface
+        # only as per-compile JAX warnings / silent cold compiles — the
+        # documented 38-min-cold vs 4.5-min-warm sweep expectation would
+        # quietly not materialize (advisor r4).
+        os.makedirs(cache_dir, exist_ok=True)
+        probe = os.path.join(cache_dir, ".writable_probe")
+        with open(probe, "w"):
+            pass
+        os.remove(probe)
         jax.config.update("jax_compilation_cache_dir", cache_dir)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
         jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
-    except Exception:
-        pass  # cache is an optimization; never block a run on it
+    except Exception as e:  # cache is an optimization; never block a run
+        import warnings
+
+        warnings.warn(
+            f"cilqr_tpu: persistent compilation cache disabled "
+            f"({cache_dir!r}: {e}); compiles will run cold",
+            RuntimeWarning,
+            stacklevel=2,
+        )

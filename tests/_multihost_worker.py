@@ -14,7 +14,12 @@ This is the code path the virtual 8-device mesh never touches
   3. runs a 2-round checkpointed Monte-Carlo campaign (both processes in
      lockstep, per-process explog shards).
 
-argv: process_id num_processes port out_dir
+argv: process_id num_processes port out_dir [devices_per_proc] [mode]
+
+devices_per_proc (default 2): virtual CPU devices per process — 4 gives
+the actual v5e-8 two-host topology (2 x 4 = 8 global devices).
+mode: "all" (default) or "campaign" (only the checkpointed campaign — the
+v5e-8-shaped test needs just that phase).
 
 All scenario inputs are deterministic so the parent test can reproduce the
 single-process ground truth in-process and assert equality.
@@ -58,16 +63,45 @@ def make_inputs(p, dtype):
     return plan, n, egos, U0
 
 
+def run_campaign_phase(out, pid, mesh, p, cp, plan, n):
+    """2-round checkpointed Monte-Carlo campaign on the given mesh (both
+    processes in lockstep, per-process explog shards)."""
+    import json as _json
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from cilqr_tpu.ops import gridmap
+    from cilqr_tpu.parallel import campaign
+
+    prior = jnp.asarray(
+        np.random.default_rng(2).uniform(0, 100, (cp.rows, cp.cols)),
+        jnp.float32,
+    )
+    geom = gridmap.make_geom(
+        [5.0, 0.0], cp.resolution, cp.rows, cp.cols, dtype=jnp.float32)
+    plan32, n32 = plan.astype(jnp.float32), n
+    ego = np.array([100.0, -305.8, 4.0, 0.02], np.float32)
+    summary = campaign.run_campaign(
+        p, cp, mesh, prior, geom, ego[:2], ego[3], plan32, n32, ego,
+        n_rounds=2, batch=16, out_dir=str(out / "campaign"), seed=7,
+        resume=False,
+    )
+    (out / f"campaign_{pid}.json").write_text(_json.dumps(summary))
+
+
 def main():
     pid, nproc, port, out_dir = (
         int(sys.argv[1]), int(sys.argv[2]), sys.argv[3], sys.argv[4])
+    ndev = int(sys.argv[5]) if len(sys.argv) > 5 else 2
+    mode = sys.argv[6] if len(sys.argv) > 6 else "all"
     import os
 
-    # before the FIRST jax import: CPU platform, 2 virtual devices/process
+    # before the FIRST jax import: CPU platform, ndev virtual devices/process
     os.environ["JAX_PLATFORMS"] = "cpu"
     os.environ["XLA_FLAGS"] = (
         os.environ.get("XLA_FLAGS", "")
-        + " --xla_force_host_platform_device_count=2"
+        + f" --xla_force_host_platform_device_count={ndev}"
     ).strip()
 
     import jax
@@ -85,13 +119,18 @@ def main():
         num_processes=nproc, process_id=pid,
     )
     assert jax.process_count() == nproc, jax.process_count()
-    assert jax.local_device_count() == 2
+    assert jax.local_device_count() == ndev
     mesh = multihost.global_mesh()
-    assert mesh.devices.size == 2 * nproc
+    assert mesh.devices.size == ndev * nproc
 
     out = pathlib.Path(out_dir)
     p, cp = make_params()
     plan, n, egos, U0 = make_inputs(p, jnp.float64)
+
+    if mode == "campaign":
+        run_campaign_phase(out, pid, mesh, p, cp, plan, n)
+        print(f"worker {pid} OK", flush=True)
+        return
 
     # ---- sharded solve: each process contributes its local half ----
     B = egos.shape[0]
@@ -113,22 +152,7 @@ def main():
     (out / f"solve_{pid}.json").write_text(json.dumps(md))
 
     # ---- 2-round checkpointed campaign across both processes ----
-    prior = jnp.asarray(
-        np.random.default_rng(2).uniform(0, 100, (cp.rows, cp.cols)),
-        jnp.float32,
-    )
-    from cilqr_tpu.ops import gridmap
-
-    geom = gridmap.make_geom(
-        [5.0, 0.0], cp.resolution, cp.rows, cp.cols, dtype=jnp.float32)
-    plan32, n32 = plan.astype(jnp.float32), n
-    ego = np.array([100.0, -305.8, 4.0, 0.02], np.float32)
-    summary = campaign.run_campaign(
-        p, cp, mesh, prior, geom, ego[:2], ego[3], plan32, n32, ego,
-        n_rounds=2, batch=16, out_dir=str(out / "campaign"), seed=7,
-        resume=False,
-    )
-    (out / f"campaign_{pid}.json").write_text(json.dumps(summary))
+    run_campaign_phase(out, pid, mesh, p, cp, plan, n)
 
     # ---- sharded FULL-STACK loop: per-cycle per-scenario costmap rebuild
     # + perception channel under the 2-process mesh (the newest pipeline —

@@ -16,8 +16,16 @@ import jax  # noqa: E402
 # The harness presets JAX_PLATFORMS=axon (the tunneled real TPU) and pytest
 # itself already imports jax._src, so the env var is latched — override via
 # the live config instead.
-jax.config.update("jax_platforms", "cpu")
-jax.config.update("jax_enable_x64", True)
+#
+# CHIP TIER (round 5, advisor r3): CILQR_TPU_TEST_TPU=1 keeps the real
+# platform so `pytest -m tpu` runs the compiled bit-identity checks on the
+# actual chip (tests/test_tpu_chip.py).  In that mode the CPU-tier tests
+# are auto-skipped (and vice versa) by pytest_collection_modifyitems below
+# — f64 fixtures and interpret-mode kernels don't mix with the TPU.
+TPU_TIER = os.environ.get("CILQR_TPU_TEST_TPU") == "1"
+if not TPU_TIER:
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_enable_x64", True)
 
 # Persistent compilation cache: the heavy closed-loop / sharded-mesh tests
 # are compile-bound on CPU; caching XLA executables across test runs cuts
@@ -31,6 +39,25 @@ import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
 from cilqr_tpu.utils.params import SolverParams  # noqa: E402
+
+
+def pytest_collection_modifyitems(config, items):
+    """Keep the CPU and chip tiers disjoint regardless of -m selection:
+    tpu-marked tests need the real platform (CILQR_TPU_TEST_TPU=1) and the
+    CPU tier needs f64 + interpret mode, so running either on the wrong
+    platform would fail for environmental, not product, reasons."""
+    if TPU_TIER:
+        skip = pytest.mark.skip(
+            reason="CPU-tier test (CILQR_TPU_TEST_TPU=1 runs only -m tpu)")
+        for it in items:
+            if "tpu" not in it.keywords:
+                it.add_marker(skip)
+    else:
+        skip = pytest.mark.skip(
+            reason="chip-tier test: run CILQR_TPU_TEST_TPU=1 pytest -m tpu")
+        for it in items:
+            if "tpu" in it.keywords:
+                it.add_marker(skip)
 
 
 @pytest.fixture(scope="session")

@@ -211,3 +211,24 @@ def test_wall_clearance_rotated_obb():
     clear = sweep.wall_clearance(rec, sc, ego_width=w)
     # nearest inner face is 2.0 - 0.5 = 1.5 m from center; minus w/2
     np.testing.assert_allclose(clear, [1.5 - w / 2.0], atol=1e-9)
+
+
+def test_all_inf_wall_clearance_contract():
+    """Advisor r4: the all-+inf wall-clearance cell must yield float NaN in
+    the row (numpy predicates degrade gracefully) and a standard JSON null
+    on the serialized path, never the non-standard NaN/Infinity tokens."""
+    import json
+
+    row = {"sigma_xy": 0.1, "algorithm": "cilqr", "collision_runs": 0,
+           "min_wall_clearance": float("nan"),
+           "mean_min_wall_clearance": float("nan")}
+    # numpy predicates: no TypeError, NaN propagates
+    assert not np.isfinite(row["min_wall_clearance"])
+    assert np.isnan(np.mean([row["mean_min_wall_clearance"], 1.0]))
+    # strict JSON: NaN -> null
+    txt = sweep.rows_to_json([row])
+    assert "NaN" not in txt and "Infinity" not in txt
+    assert json.loads(txt)[0]["min_wall_clearance"] is None
+    # markdown table: NaN renders as an empty cell
+    tbl = sweep.format_table([row])
+    assert "nan" not in tbl.lower().split("algorithm")[-1]

@@ -70,3 +70,36 @@ def test_latest_step(tmp_path):
     meta = {"step": 11, "scenario": "long"}
     checkpoint.save_metadata(str(tmp_path / "meta.json"), meta)
     assert checkpoint.load_metadata(str(tmp_path / "meta.json")) == meta
+
+
+def test_tile_sublanes_validation(monkeypatch):
+    """Advisor r4: malformed CILQR_TPU_TILE_SUBLANES must fall back to 8
+    with a warning instead of breaking every import."""
+    import warnings
+
+    from cilqr_tpu.ops import riccati_pallas as rp
+
+    for bad in ("banana", "0", "-8", "12"):
+        monkeypatch.setenv("CILQR_TPU_TILE_SUBLANES", bad)
+        with warnings.catch_warnings(record=True) as w:
+            warnings.simplefilter("always")
+            assert rp._tile_sublanes() == 8
+        assert any("CILQR_TPU_TILE_SUBLANES" in str(x.message) for x in w)
+    for good, want in (("8", 8), ("16", 16)):
+        monkeypatch.setenv("CILQR_TPU_TILE_SUBLANES", good)
+        assert rp._tile_sublanes() == want
+
+
+def test_compile_cache_warns_on_unwritable_dir(monkeypatch, tmp_path):
+    """Advisor r4: an unusable cache dir must warn, not silently degrade."""
+    import warnings
+
+    from cilqr_tpu.utils import compile_cache
+
+    blocker = tmp_path / "blocker"
+    blocker.write_text("")  # a FILE where a directory is required
+    monkeypatch.setenv("CILQR_TPU_CACHE_DIR", str(blocker / "sub"))
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        compile_cache.enable_compilation_cache()
+    assert any("compilation cache disabled" in str(x.message) for x in w)
