@@ -93,26 +93,45 @@ def polyfit_scaled(
     x_mid = 0.5 * (jnp.max(x) + jnp.min(x))
     x_scale = jnp.maximum(0.5 * (jnp.max(x) - jnp.min(x)), 1e-6)
     t = (x - x_mid) / x_scale
-    V = t[:, None] ** jnp.arange(order + 1)[None, :]
     # Normal equations on the scaled basis are fine (cond(V) ~ 1e1-1e2 for
     # t in [-1, 1]); the y offset is removed first so coefficient magnitudes
     # stay O(path curvature) rather than O(|y|~300 m).  The tiny (order+1)^2
     # SPD solve is an unrolled Cholesky (_chol_solve) — XLA's batched LU on
     # TPU costs milliseconds at B=4096, the unrolled VPU version is free.
-    # HIGHEST matmul precision: TPU MXU default truncates f32 operands to
-    # bf16 — a ~0.4% relative error on the Gram matrix that survives into
-    # the fitted reference line.  bf16x3 keeps these small dots exact.
+    #
+    # The Gram matrix of a Vandermonde is a HANKEL of power sums:
+    # G[i, j] = sum_k w_k t_k^(i+j) — only 2*order+1 distinct entries.
+    # Computing those as explicit VPU reductions (repeated-multiply powers,
+    # no pow) replaces the batched (order+1, W) HIGHEST-precision matmuls,
+    # which at B=32k measured ~5 ms of the mega path's fixed per-solve
+    # cost: vmapped tiny matmuls pad each scenario's 6x20 operands onto
+    # full MXU tiles, and `t ** arange` lowers through the generic pow.
+    # (round-5 profile: scripts/profile_prepost.py — plan fit 5.0 ms, of
+    # which the polyfit was 5.1; the power-sum form is ~0.1 ms.)
+    tp = [jnp.ones_like(t)]  # t^0 .. t^(2*order), exact repeated multiply
+    for _ in range(2 * order):
+        tp.append(tp[-1] * t)
     if weights is not None:
         wsum = jnp.maximum(jnp.sum(weights), 1.0)
         y_mid = jnp.sum(weights * y) / wsum
-        Vw = V * weights[:, None]
-        G = jnp.matmul(Vw.T, V, precision=jax.lax.Precision.HIGHEST)
-        b = jnp.matmul(Vw.T, (y - y_mid), precision=jax.lax.Precision.HIGHEST)
-        G = G + 1e-9 * jnp.eye(order + 1, dtype=G.dtype)
+        wr = weights
+        ridge = 1e-9
     else:
         y_mid = jnp.mean(y)
-        G = jnp.matmul(V.T, V, precision=jax.lax.Precision.HIGHEST)
-        b = jnp.matmul(V.T, (y - y_mid), precision=jax.lax.Precision.HIGHEST)
+        wr = None
+        ridge = 0.0
+    y0 = y - y_mid
+    rsum = (lambda a: jnp.sum(a)) if wr is None else (lambda a: jnp.sum(wr * a))
+    s = [rsum(tpm) for tpm in tp]  # power sums s_m = sum_k w_k t_k^m
+    G = jnp.stack(
+        [
+            jnp.stack(
+                [s[i + j] + (ridge if i == j else 0.0) for j in range(order + 1)]
+            )
+            for i in range(order + 1)
+        ]
+    )
+    b = jnp.stack([rsum(y0 * tp[i]) for i in range(order + 1)])
     coeffs = _chol_solve(G, b)
     coeffs = coeffs.at[0].add(y_mid)
     return coeffs, x_mid, x_scale

@@ -84,22 +84,32 @@ def main():
     # ---- E2: fixed-iteration A/B (convergence disabled) ----
     # tolerance < 0: |J_new - J_old| < tol never true -> accept never stops;
     # lamb_max huge: reject never stops; every lane runs max_iterations.
-    p_fix = dataclasses.replace(p, tolerance=-1.0, lamb_max=1e30,
-                                max_iterations=10)
-    fnf = jax.jit(lambda e, u: solver_batched.run_steps_batched(
-        p_fix, plan, n, e, u, obstacles, unc, impl="mega"))
-    variants = [(egos_of(10 + k), U0s) for k in range(6)]
-    t0 = time.perf_counter()
-    fnf.lower(*variants[0]).compile()
-    tc = time.perf_counter() - t0
-    t, out = timeit_varied(fnf, variants)
-    it = np.asarray(out.iterations)
-    assert (it == p_fix.max_iterations).all(), it
-    per_iter_us = 1e6 * t / (B / TILE) / p_fix.max_iterations * (TILE / 1024)
-    print(f"E2 (TS={_TS}): fixed {p_fix.max_iterations} iters  "
-          f"step={1e3 * t:.2f} ms  solves/s={B / t:,.0f}  "
-          f"per-1024-lane-tile-iteration={per_iter_us:.1f} us  "
-          f"(compile {tc:.0f}s)")
+    # Sweeping max_iterations fits step = fixed + iters * slope, separating
+    # the XLA pre/post region (plan fit, rollout, tile transposes) from the
+    # in-kernel LM loop.
+    results = []
+    for mi in (0, 2, 5, 10, 20):
+        p_fix = dataclasses.replace(p, tolerance=-1.0, lamb_max=1e30,
+                                    max_iterations=mi)
+        fnf = jax.jit(lambda e, u, pf=p_fix: solver_batched.run_steps_batched(
+            pf, plan, n, e, u, obstacles, unc, impl="mega"))
+        variants = [(egos_of(10 + k), U0s) for k in range(6)]
+        t0 = time.perf_counter()
+        fnf.lower(*variants[0]).compile()
+        tc = time.perf_counter() - t0
+        t, out = timeit_varied(fnf, variants)
+        it = np.asarray(out.iterations)
+        assert (it == mi).all(), it
+        results.append((mi, t))
+        print(f"E2 (TS={_TS}): fixed {mi:2d} iters  step={1e3 * t:.2f} ms  "
+              f"solves/s={B / t:,.0f}  (compile {tc:.0f}s)")
+    (m1, t1), (m2, t2) = results[0], results[-1]
+    slope = (t2 - t1) / (m2 - m1)
+    fixed = t1 - m1 * slope
+    print(f"E2 (TS={_TS}): linear fit -> fixed={1e3 * fixed:.2f} ms "
+          f"+ {1e3 * slope:.3f} ms/iteration "
+          f"(kernel loop = {100.0 * (1.0 - fixed / t2):.0f}% of the "
+          f"{m2}-iteration step)")
 
 
 if __name__ == "__main__":
