@@ -411,7 +411,7 @@ def propagate_uncertainty_tpu_batched(
 
 
 def make_band_plan(cp: CostmapParams, rows: int, cols: int, center,
-                   sigma_hi, max_bands: int = 4) -> BandPlan:
+                   sigma_hi, max_bands="auto") -> BandPlan:
     """Static row bands with per-band window radii for banded propagation.
 
     The fixed-window kernel sizes its (2R+1)^2 accumulation for the WORST
@@ -434,7 +434,7 @@ def make_band_plan(cp: CostmapParams, rows: int, cols: int, center,
 
 def make_band_plan_bounds(cp: CostmapParams, rows: int, cols: int,
                           x_range, y_range, sigma_hi,
-                          max_bands: int = 4) -> BandPlan:
+                          max_bands="auto") -> BandPlan:
     """``make_band_plan`` for an INTERVAL of map-frame centers.
 
     The full-stack batched path gives every scenario its own vehicle-frame
@@ -444,6 +444,17 @@ def make_band_plan_bounds(cp: CostmapParams, rows: int, cols: int,
     over center_x in ``x_range`` and center_y in ``y_range`` — still EXACT
     for every scenario whose center stays inside the intervals (a window
     covering the 95% ellipse is exact regardless of slack).
+
+    ``max_bands="auto"`` (round 5): prefer 8-ROW bands — each band's
+    (band_rows, cols) planes are then exactly one sublane group, which
+    measured ~7% faster than the old 4-band split at the full-stack
+    geometry (32.6-33.3 vs 35.3-35.4 ms over 3 reps, bit-identical;
+    scripts/profile_band_count.py — the walked cell-visit count saturates
+    at 4 bands, so this is a layout win, not a trip-count win).  Falls
+    back to 4 bands when any 8-row band would exceed the static-unroll
+    offset ceiling: the aligned-group mode's ~8-body-per-column loop
+    repeated for 19 bands would multiply Mosaic module size at the
+    high-sigma production-sweep windows.
     """
     import numpy as _np
 
@@ -469,19 +480,31 @@ def make_band_plan_bounds(cp: CostmapParams, rows: int, cols: int,
     # lambda_max <= max(s_x, s_y)^2 + s_t^2 lever^2 (diag + rank-1 split)
     s_m = max(s_x, s_y)
     disc = cp.chisquare_val * _np.sqrt(s_m * s_m + s_t * s_t * lever * lever) / res
-    n_b = min(max_bands, rows)
-    bounds = _np.linspace(0, rows, n_b + 1).astype(int)
-    bands = []
-    radii = []
-    for i in range(n_b):
-        r0, r1 = int(bounds[i]), int(bounds[i + 1])
-        if r1 > r0:
-            bands.append((r0, r1 - r0, int(need[r0:r1].max())))
-            radii.append(float(disc[r0:r1].max()))
-    return BandPlan(
-        tuple(bands), (float(s_x), float(s_y), float(s_t)),
-        (x_lo, x_hi), (y_lo, y_hi), tuple(radii),
-    )
+
+    def build(n_bands: int) -> BandPlan:
+        n_b = min(n_bands, rows)
+        bounds = _np.linspace(0, rows, n_b + 1).astype(int)
+        bands = []
+        radii = []
+        for i in range(n_b):
+            r0, r1 = int(bounds[i]), int(bounds[i + 1])
+            if r1 > r0:
+                bands.append((r0, r1 - r0, int(need[r0:r1].max())))
+                radii.append(float(disc[r0:r1].max()))
+        return BandPlan(
+            tuple(bands), (float(s_x), float(s_y), float(s_t)),
+            (x_lo, x_hi), (y_lo, y_hi), tuple(radii),
+        )
+
+    if max_bands == "auto":
+        plan8 = build(max(1, rows // 8))
+        if all(
+            (2 * R + 1) ** 2 <= _UNROLL_MAX_OFFSETS
+            for (_, _, R) in plan8.bands
+        ):
+            return plan8
+        return build(4)
+    return build(int(max_bands))
 
 
 def propagate_uncertainty_tpu_banded(

@@ -39,18 +39,23 @@ from cilqr_tpu.sim.example_scenario import example_scenario
 from cilqr_tpu.utils.params import CostmapParams, SolverParams
 
 
-def walked_trips(plan) -> tuple[int, int]:
-    """(square_trips, walked_trips) per scenario for a BandPlan — the exact
-    count of (di, dj) loop-body executions ``_accumulate`` performs."""
+def walked_trips(plan, cols: int) -> tuple[int, int]:
+    """(square_cellvisits, walked_cellvisits) per scenario for a BandPlan —
+    each (di, dj) loop body of ``_accumulate`` processes its band's
+    (band_rows, cols) plane, so the work metric is trips x band area.  The
+    walked count bounds di to the chord of the disc at each dj (exactly
+    what the kernel's static di_lo/di_hi bounds do), so walked/square also
+    measures how much of the square the existing disc cut already skips."""
     square = 0
     walked = 0
     for (r0, br, R), r_disc in zip(
         plan.bands, plan.disc_radii or (None,) * len(plan.bands)
     ):
         W = 2 * R + 1
-        square += W * W
+        area = br * cols
+        square += W * W * area
         if r_disc is None:
-            walked += W * W
+            walked += W * W * area
             continue
         r2 = float(r_disc) * float(r_disc)
         for dj in range(W):
@@ -58,7 +63,7 @@ def walked_trips(plan) -> tuple[int, int]:
             if d * d > r2:
                 continue
             m = min(R, int(math.floor(math.sqrt(r2 - d * d))))
-            walked += 2 * m + 1
+            walked += (2 * m + 1) * area
     return square, walked
 
 
@@ -92,7 +97,7 @@ def main():
             cp, cp.rows, cp.cols, xr, yr,
             (cp.sigma_x, cp.sigma_y, cp.sigma_theta), max_bands=nb,
         )
-        sq, wk = walked_trips(band)
+        sq, wk = walked_trips(band, cp.cols)
         fn = jax.jit(
             lambda v, g, y, b=band: uncertainty_pallas.propagate_uncertainty_tpu_banded(
                 cp, v, g, y, None, b
@@ -104,7 +109,7 @@ def main():
         t, out = timeit_varied(fn, variants)
         print(
             f"max_bands={nb:2d}  bands={len(band.bands)}  "
-            f"square_trips={sq:5d}  walked_trips={wk:5d} "
+            f"square_cellvisits={sq / 1e6:7.1f}M  walked={wk / 1e6:7.1f}M "
             f"({100.0 * wk / sq:.0f}% of square)  "
             f"time={1e3 * t:7.2f} ms  (compile {tc:.1f}s)"
         )
