@@ -216,8 +216,8 @@ def main():
                         out.lamb,
                         out.iterations.astype(f32),
                         out.U[:, 0, 0]
-                        + out.x_wpts[:, 0]
-                        + out.y_fit[:, 0],
+                        + out.ref_x[:, 0]
+                        + out.ref_y[:, 0],
                     ],
                     axis=-1,
                 )
