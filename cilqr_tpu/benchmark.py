@@ -43,6 +43,13 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    # Persistent compile cache (same policy as the CLI/tests): the bench
+    # only ever times warm executions, so caching compiles across driver
+    # rounds changes nothing measured and cuts minutes of wall clock.
+    from cilqr_tpu.utils.compile_cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
     from cilqr_tpu.sim.example_scenario import example_scenario as _scenario
     from cilqr_tpu.models import solver
     from cilqr_tpu.parallel import batch as pbatch
@@ -182,6 +189,45 @@ def main():
         dataclasses.replace(p, backward_impl="pscan")
     )
 
+    # SERVING fast path (round 5): the mega kernel at B=1.  run_steps_batched
+    # pads a single scenario up to one 1024-lane tile whose padding lanes
+    # replay lane 0, so the tile early-exits at the real lane's convergence
+    # iteration — measured ~0.27 ms/solve vs ~5.7 ms on the unfused
+    # run_step path (scripts/profile_serve_b1.py; 21x).  The chain must be
+    # long (k2-k1 >> RTT_jitter/0.27ms) or the slope drowns in tunnel
+    # noise — a first probe at k2-k1=16 measured a meaningless -0.025.
+    from cilqr_tpu.models import solver_batched as _sb
+
+    def make_mega_b1_chain(k):
+        def f(e, u):
+            def body(i, carry):
+                e_, u_ = carry
+                r = _sb.run_steps_batched(
+                    p, plan, n, e_[None], u_[None], obstacles, unc,
+                    impl="mega")
+                return (e_ + 1e-6 * r.X[0, 1], r.U[0])
+
+            return jax.lax.fori_loop(0, k, body, (e, u))
+
+        return jax.jit(f)
+
+    mk1, mk2 = 8, 88
+    mc1, mc2 = make_mega_b1_chain(mk1), make_mega_b1_chain(mk2)
+    jax.block_until_ready(mc1(egos[0], U0s[0]))
+    jax.block_until_ready(mc2(egos[0], U0s[0]))
+    mt1s, mt2s = [], []
+    for r in range(9):
+        e_in = egos[r % B]
+        t0 = time.perf_counter()
+        jax.block_until_ready(mc1(e_in, U0s[0]))
+        mt1s.append(time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        jax.block_until_ready(mc2(e_in, U0s[0]))
+        mt2s.append(time.perf_counter() - t0)
+    device_solve_ms_mega_b1 = (
+        (float(np.median(mt2s)) - float(np.median(mt1s))) / (mk2 - mk1) * 1e3
+    )
+
     # batched throughput: pipelined dispatch with *varied* inputs per
     # iteration (the axon terminal dedups identical queued executions, which
     # silently turns a same-input timing loop into a no-op measurement)
@@ -257,11 +303,30 @@ def main():
                 ts.append(time.perf_counter() - t0)
             return min(ts)
 
-        vals = []
+        # Sanity bound (round 5): a multi-second tunnel stall that straddles
+        # the whole phase makes BOTH group timings ~= the stall, so
+        # t2 - t1 -> ~0 and the slope explodes (observed once: closed loop
+        # "1.29e9 cycles/s", 800x reality, consistent across all reps —
+        # min-of-2 cannot filter a stall longer than the phase).  The slope
+        # can legitimately exceed the blocking per-dispatch estimate
+        # items*g2/t2 (that includes one RTT), but not by much — reject any
+        # rep claiming > 3x that physical bound and re-measure it; if every
+        # attempt is rejected, report the conservative blocking estimate
+        # instead of a poisoned slope.
+        vals, bounds = [], []
         for r in range(reps):
-            t1 = time_group(2 * r, g1)
-            t2 = time_group(2 * r + 1, g2)
-            vals.append(items * (g2 - g1) / (t2 - t1))
+            for attempt in range(3):
+                tag = 2 * (r + reps * attempt)
+                t1 = time_group(tag, g1)
+                t2 = time_group(tag + 1, g2)
+                val = items * (g2 - g1) / (t2 - t1)
+                bound = items * g2 / t2
+                bounds.append(bound)
+                if 0 < val <= 3.0 * bound:
+                    vals.append(val)
+                    break
+        if not vals:
+            vals = [float(np.median(bounds))]
         return (
             round(float(np.median(vals)), 1),
             [round(float(np.min(vals)), 1), round(float(np.max(vals)), 1)],
@@ -444,6 +509,8 @@ def main():
                 "e2e_p99_under_budget": p99 < 0.1,
                 "device_single_solve_ms": round(device_solve_ms, 3),
                 "device_single_solve_ms_pscan": round(device_solve_ms_pscan, 3),
+                "device_single_solve_ms_mega_b1": round(
+                    device_solve_ms_mega_b1, 3),
                 "mean_lm_iterations": round(mean_iters, 2),
                 "mega_pct_of_sol": mega_pct_of_sol,
                 "mega_sol_binding_resource": sol.bound,

@@ -137,3 +137,72 @@ def test_window_resample_matches_xla_on_chip():
         lambda g, e, y: costmap.sample_prior(
             g, rows, cols, gmap, ggeom, e, y)))(geoms, egos, yaws)
     np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_mega_kernel_matches_unfused_path_on_chip():
+    """The flagship fused LM-iteration kernel (ops/lm_pallas), COMPILED on
+    the real chip, vs the unfused run_step path at full production params
+    (N=50, obstacles + uncertainty barrier).
+
+    The CPU tier cross-checks the mega kernel only in Pallas interpret
+    mode (tests/test_lm_pallas.py) — a Mosaic lowering regression would
+    sail through it.  This locks the compiled kernel end-to-end: identical
+    convergence decisions, matching objective, matching APPLIED controls.
+    Tolerance note (measured on chip on this exact scenario set): the two
+    paths reduce costs in different f32 orders and per-iteration diffs
+    amplify along the 50-step horizon — iterations match EXACTLY on all
+    lanes, rel |dJ| <= 0.71%, |dU| over the first 10 steps <= 3.4e-3, but
+    the horizon TAIL of 3/16 lanes drifts up to 0.149 (receding-horizon
+    MPC only ever applies the head; the tail is replanned next cycle, so
+    the head is what the framework guarantees across paths).  Bars: head
+    controls/states 1e-2, J 2e-2 rel, full-horizon garbage cap 0.5 — any
+    lowering bug (wrong tile addressing, garbage lanes) fails all of them
+    by orders of magnitude.
+
+    Covers B=16 (padded tile, the throughput shape) and B=1 (the serving
+    fast path bench.py reports as device_single_solve_ms_mega_b1).
+
+    Reference anchor: the LM loop both paths implement is
+    /root/reference/CILQR/src/ilqr/include/ilqr/iLQR.cpp:211-239.
+    """
+    import dataclasses
+
+    from cilqr_tpu.models import solver, solver_batched
+    from cilqr_tpu.sim.example_scenario import example_scenario
+    from cilqr_tpu.utils.params import SolverParams
+
+    p = dataclasses.replace(SolverParams(), horizon=50)
+    plan, n, ego, U0, obstacles, unc = example_scenario(p, jnp.float32)
+    rng = np.random.default_rng(11)
+    B = 16
+    egos = jnp.asarray(
+        np.asarray(ego)[None, :] + rng.normal(0, 0.3, (B, 4)), f32)
+    U0s = jnp.broadcast_to(U0, (B,) + U0.shape)
+
+    got = jax.jit(
+        lambda e, u: solver_batched.run_steps_batched(
+            p, plan, n, e, u, obstacles, unc, impl="mega"))(egos, U0s)
+    want = jax.jit(jax.vmap(
+        lambda e, u: solver.run_step(p, plan, n, e, u, obstacles, unc)))(
+        egos, U0s)
+
+    np.testing.assert_array_equal(
+        np.asarray(got.iterations), np.asarray(want.iterations))
+    np.testing.assert_allclose(
+        np.asarray(got.U[:, :10]), np.asarray(want.U[:, :10]),
+        rtol=1e-2, atol=1e-2)
+    np.testing.assert_allclose(
+        np.asarray(got.X[:, :10]), np.asarray(want.X[:, :10]),
+        rtol=1e-2, atol=1e-2)
+    np.testing.assert_allclose(
+        np.asarray(got.J), np.asarray(want.J), rtol=2e-2)
+    assert float(np.max(np.abs(np.asarray(got.U) - np.asarray(want.U)))) \
+        < 0.5  # full-horizon garbage cap
+
+    # serving shape: B=1 pads to one tile whose padding lanes replay lane 0
+    got1 = jax.jit(
+        lambda e, u: solver_batched.run_steps_batched(
+            p, plan, n, e[None], u[None], obstacles, unc, impl="mega"))(
+        egos[0], U0)
+    np.testing.assert_allclose(
+        np.asarray(got1.U[0]), np.asarray(got.U[0]), rtol=1e-6, atol=1e-6)
