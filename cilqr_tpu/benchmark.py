@@ -39,6 +39,76 @@ import time
 import numpy as np
 
 
+def slope_throughput(call, make_input, items, g1=1, g2=4, reps=3,
+                     timer=None, blocker=None):
+    """Pipelined-group slope throughput with a tunnel-stall guard.
+
+    Per rep, time a pipelined group of ``g1`` dispatches and one of ``g2``
+    (distinct inputs each — the axon terminal dedups identical queued
+    executions) and take ``items * (g2 - g1) / (t2 - t1)``: the ~30 ms
+    tunnel RTT appears once per group and cancels in the difference, so
+    the recorded number is device throughput, not harness transport (a
+    per-dispatch block_until_ready would overstate a ~100 ms dispatch by
+    ~25%).
+
+    Guard (round 5): a multi-second tunnel stall that straddles the whole
+    phase makes BOTH group timings ~= the stall, so t2 - t1 -> ~0 and the
+    slope explodes (observed once: closed loop "1.29e9 cycles/s", 800x
+    reality, consistent across all reps — the min-of-2 spike filter cannot
+    catch a stall longer than the phase).  The slope can legitimately
+    exceed the blocking per-dispatch estimate ``items * g2 / t2`` (that
+    includes one RTT), but not by much — any rep claiming > 3x that
+    physical bound is rejected and re-measured (up to 3 attempts); if
+    every attempt is rejected the conservative blocking estimate is
+    reported instead of a poisoned slope.
+
+    ``timer`` / ``blocker`` default to ``time.perf_counter`` /
+    ``jax.block_until_ready`` and exist so the guard logic is unit-testable
+    without a device (tests/test_utils.py).
+    """
+    if timer is None:
+        timer = time.perf_counter
+    if blocker is None:
+        import jax
+
+        blocker = jax.block_until_ready
+
+    def time_group(tag, g):
+        # min over 2 trials: the tunnel RTT is additive positive noise
+        # with a heavy tail (p99 ~200 ms vs p50 ~30 ms measured), and one
+        # spike on the small group makes the slope negative — min filters
+        # spikes without biasing the device time underneath
+        ts = []
+        for trial in range(2):
+            t0 = timer()
+            outs = [
+                call(make_input(10_000 * tag + 100 * trial + i))
+                for i in range(g)
+            ]
+            blocker(outs)
+            ts.append(timer() - t0)
+        return min(ts)
+
+    vals, bounds = [], []
+    for r in range(reps):
+        for attempt in range(3):
+            tag = 2 * (r + reps * attempt)
+            t1 = time_group(tag, g1)
+            t2 = time_group(tag + 1, g2)
+            val = items * (g2 - g1) / (t2 - t1)
+            bound = items * g2 / t2
+            bounds.append(bound)
+            if 0 < val <= 3.0 * bound:
+                vals.append(val)
+                break
+    if not vals:
+        vals = [float(np.median(bounds))]
+    return (
+        round(float(np.median(vals)), 1),
+        [round(float(np.min(vals)), 1), round(float(np.max(vals)), 1)],
+    )
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -279,59 +349,8 @@ def main():
     # so every driver-captured BENCH_r*.json records them (VERDICT r1 #4);
     # set the env flag to 0 to skip (e.g. quick local runs).
     #
-    # All three use SLOPE-BASED throughput (round 5): per rep, time a
-    # pipelined group of g1 dispatches and one of g2 dispatches (distinct
-    # inputs each — the dedup trap) and take (t2 - t1) / (g2 - g1).  The
-    # ~30 ms tunnel RTT appears once per group and cancels in the
-    # difference, so the recorded number is device throughput, not
-    # harness transport (a per-dispatch block_until_ready would overstate
-    # a ~100 ms dispatch by ~25%).
-    def slope_throughput(call, make_input, items, g1=1, g2=4, reps=3):
-        def time_group(tag, g):
-            # min over 2 trials: the tunnel RTT is additive positive noise
-            # with a heavy tail (p99 ~200 ms vs p50 ~30 ms measured), and
-            # one spike on the small group makes the slope negative — min
-            # filters spikes without biasing the device time underneath
-            ts = []
-            for trial in range(2):
-                t0 = time.perf_counter()
-                outs = [
-                    call(make_input(10_000 * tag + 100 * trial + i))
-                    for i in range(g)
-                ]
-                jax.block_until_ready(outs)
-                ts.append(time.perf_counter() - t0)
-            return min(ts)
-
-        # Sanity bound (round 5): a multi-second tunnel stall that straddles
-        # the whole phase makes BOTH group timings ~= the stall, so
-        # t2 - t1 -> ~0 and the slope explodes (observed once: closed loop
-        # "1.29e9 cycles/s", 800x reality, consistent across all reps —
-        # min-of-2 cannot filter a stall longer than the phase).  The slope
-        # can legitimately exceed the blocking per-dispatch estimate
-        # items*g2/t2 (that includes one RTT), but not by much — reject any
-        # rep claiming > 3x that physical bound and re-measure it; if every
-        # attempt is rejected, report the conservative blocking estimate
-        # instead of a poisoned slope.
-        vals, bounds = [], []
-        for r in range(reps):
-            for attempt in range(3):
-                tag = 2 * (r + reps * attempt)
-                t1 = time_group(tag, g1)
-                t2 = time_group(tag + 1, g2)
-                val = items * (g2 - g1) / (t2 - t1)
-                bound = items * g2 / t2
-                bounds.append(bound)
-                if 0 < val <= 3.0 * bound:
-                    vals.append(val)
-                    break
-        if not vals:
-            vals = [float(np.median(bounds))]
-        return (
-            round(float(np.median(vals)), 1),
-            [round(float(np.min(vals)), 1), round(float(np.max(vals)), 1)],
-        )
-
+    # All three use SLOPE-BASED throughput (round 5): see the module-level
+    # ``slope_throughput`` for the method and its tunnel-stall guard.
     extras = {}
     if os.environ.get("BENCH_MC", "1") == "1":
         # Config-3 Monte-Carlo: per-scenario sampled covariance -> banded

@@ -103,3 +103,50 @@ def test_compile_cache_warns_on_unwritable_dir(monkeypatch, tmp_path):
         warnings.simplefilter("always")
         compile_cache.enable_compilation_cache()
     assert any("compilation cache disabled" in str(x.message) for x in w)
+
+
+def test_slope_throughput_stall_guard():
+    """Round 5: a tunnel stall straddling the whole throughput phase makes
+    both group timings ~= the stall, exploding the slope (one full-bench
+    run recorded a physically impossible 1.29e9 closed-loop cycles/s).
+    The guard must reject such reps and fall back to the conservative
+    blocking bound; a clean session must pass through unchanged."""
+    from cilqr_tpu.benchmark import slope_throughput
+
+    # Simulated device: each dispatch costs `per` seconds; `stall` adds a
+    # constant per-group latency (the tunnel).  timer() advances only via
+    # blocker(), which knows how many dispatches the group queued.
+    class FakeClock:
+        def __init__(self, per, stall):
+            self.t, self.per, self.stall = 0.0, per, stall
+            self.pending = 0
+
+        def timer(self):
+            return self.t
+
+        def call(self, x):
+            self.pending += 1
+            return x
+
+        def blocker(self, outs):
+            self.t += self.stall + self.per * self.pending
+            self.pending = 0
+
+    items = 1000.0
+
+    # clean session: slope recovers the per-dispatch device time exactly
+    clk = FakeClock(per=0.1, stall=0.03)
+    med, spread = slope_throughput(
+        clk.call, lambda i: i, items, timer=clk.timer, blocker=clk.blocker)
+    assert abs(med - items / 0.1) / (items / 0.1) < 1e-6
+    assert spread[0] <= med <= spread[1]
+
+    # stalled session: device time negligible vs a 5 s stall -> raw slope
+    # would claim ~items/per = 1e7; the guard must cap at the blocking
+    # bound items*g2/t2 instead of shipping the poisoned slope
+    clk = FakeClock(per=1e-4, stall=5.0)
+    med, spread = slope_throughput(
+        clk.call, lambda i: i, items, timer=clk.timer, blocker=clk.blocker)
+    bound = items * 4 / (5.0 + 4 * 1e-4)  # g2=4 dispatches, one stall
+    assert med <= bound * 1.01
+    assert med < 0.001 * (items / 1e-4)  # nowhere near the poisoned slope
