@@ -82,7 +82,14 @@ def main():
     vehicle_map, bbox, corridor, geom = pre(egos_v[0])
 
     # --- phase: Pallas prior resample (per-variant geometries) ---
-    pre_outs = [pre(e) for e in egos_v]
+    # HBM note: holding every pre() output alive (bbox + corridor +
+    # vehicle_map per variant) OOMed at B=8192 — keep only the slim
+    # (bbox, geom) pair per variant and free the corridor layers as we go.
+    pre_slim = []
+    for e in egos_v:
+        _vm_, bb_, _corr_, g_ = pre(e)
+        pre_slim.append((bb_, g_))
+        del _vm_, _corr_
     samp = jax.jit(
         lambda g, e: sample_pallas.sample_prior_batched_tpu(
             g, cp.rows, cp.cols, cp.resolution, 0.5, gmap, ggeom,
@@ -90,7 +97,7 @@ def main():
         )
     )
     t_samp, _ = timeit_varied(
-        samp, [(o[3], e) for o, e in zip(pre_outs, egos_v)]
+        samp, [(o[1], e) for o, e in zip(pre_slim, egos_v)]
     )
     prior = samp(geom, egos_v[0])
     vm = jnp.where(bbox > 90.0, bbox, prior.astype(bbox.dtype))
@@ -102,12 +109,15 @@ def main():
         )
     )
     prop_in = []
-    for o, e in zip(pre_outs, egos_v):
-        pr = samp(o[3], e)
-        vmx = jnp.where(o[1] > 90.0, o[1], pr.astype(o[1].dtype))
-        prop_in.append((vmx, o[3], e[:, 3]))
+    while pre_slim:  # consume destructively: one bbox freed per vmx built
+        bb_, g_ = pre_slim.pop(0)
+        e = egos_v[len(prop_in)]
+        pr = samp(g_, e)
+        vmx = jnp.where(bb_ > 90.0, bb_, pr.astype(bb_.dtype))
+        prop_in.append((vmx, g_, e[:, 3]))
+        del bb_, pr
     t_prop, _ = timeit_varied(prop, prop_in)
-    del prop_in, pre_outs  # free ~N_TIMED full-map variants before the next phase
+    del prop_in  # free ~N_TIMED full-map variants before the next phase
 
     # --- phase: costmap total ---
     cmt = jax.jit(
@@ -117,7 +127,11 @@ def main():
             band_plan=band, global_res=0.5,
         )
     )
-    t_cm, _ = timeit_varied(cmt, [(e,) for e in egos_v])
+    # heavy-output phases: a pipelined group of N_TIMED LocalCostmap /
+    # SolveResult outputs (several (B,rows,cols) layers each) OOMs HBM at
+    # B>=8192 — cap those groups at warmup+2 variants there
+    heavy_v = egos_v[:3] if B >= 8192 else egos_v
+    t_cm, _ = timeit_varied(cmt, [(e,) for e in heavy_v])
     cms = cmt(egos_v[0])
 
     # --- phase: hybrid mega solve with per-scenario maps ---
@@ -130,7 +144,7 @@ def main():
             world_batched=True,
         )
     )
-    t_slv, _ = timeit_varied(slv, [(e, U0s) for e in egos_v])
+    t_slv, _ = timeit_varied(slv, [(e, U0s) for e in heavy_v])
 
     # --- full cycle ---
     fs = jax.jit(
@@ -140,7 +154,7 @@ def main():
         )
     )
     t_cycle, _ = timeit_varied(
-        fs, [(e, jax.random.key(i)) for i, e in enumerate(egos_v)]
+        fs, [(e, jax.random.key(i)) for i, e in enumerate(heavy_v)]
     )
 
     print(f"B={B}")

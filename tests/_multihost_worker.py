@@ -178,6 +178,10 @@ def main():
            + np.random.default_rng(13).normal(0, 0.2, (B, 4))
            ).astype(np.float32)
     x0_sh = multihost.scatter_local(mesh, x0s[lo:lo + b])
+    # f32 plan for the full-stack pipeline (the solve phase above runs f64;
+    # plan32 used to be a module-level alias until run_campaign_phase was
+    # extracted — keep the cast local here)
+    plan32, n32 = plan.astype(jnp.float32), n
     xf, rec, fsum = fs_fn(gmap, ggeom, plan32, n32, x0_sh, jax.random.key(5))
     xf_shards = sorted(xf.addressable_shards, key=lambda s: s.index[0].start)
     np.savez(
