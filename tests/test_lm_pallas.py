@@ -161,3 +161,14 @@ def test_mega_arbitrary_batch_padding(params, global_plan):
     res = solver_batched.run_steps_batched(p, plan, n, egos, U0, impl="mega")
     assert res.U.shape == (B, p.horizon, 2)
     assert np.isfinite(np.asarray(res.U)).all()
+
+    # B=1 — the serving fast path (bench device_single_solve_ms_mega_b1,
+    # ARCHITECTURE §8): one padded tile whose padding lanes replay lane 0.
+    # Lane 0's result must be invariant to its tile co-tenants.
+    res1 = solver_batched.run_steps_batched(
+        p, plan, n, egos[:1], U0[:1], impl="mega")
+    assert res1.U.shape == (1, p.horizon, 2)
+    np.testing.assert_allclose(
+        np.asarray(res1.U[0]), np.asarray(res.U[0]), rtol=1e-6, atol=1e-6)
+    np.testing.assert_array_equal(
+        np.asarray(res1.iterations[0]), np.asarray(res.iterations[0]))
